@@ -1,0 +1,27 @@
+"""Test config: force CPU backend with 8 virtual devices BEFORE jax imports.
+
+This fakes an 8-chip mesh so data-parallel sharding paths are exercised
+without TPU hardware (SURVEY.md §4 test plan).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Tests use tiny models; keep compiles fast and deterministic.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Synthetic data for datamodule tests (no network egress in CI).
+os.environ.setdefault("IGM_SYNTHETIC_DATA", "1")
+
+import pytest  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="session")
+def config_dir() -> Path:
+    return REPO / "configs"
