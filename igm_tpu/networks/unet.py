@@ -1,0 +1,152 @@
+"""DDPM UNet denoiser (parity: src/models/ddpm.py:39-261), NHWC Flax.
+
+Architecture per resolution: 2x ResnetBlock (time-FiLM-add), residual
+pre-normed linear attention, down/up-sample; middle block-attn-block; the
+first skip connection is unused (reference quirk: ups iterate in_out[1:],
+`ddpm.py:221`).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import linear_attention
+from .base import Conv, ConvTranspose, Dense
+
+
+def mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(nn.softplus(x))
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Timestep embedding (ddpm.py:47-59)."""
+    dim: int
+
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        half = self.dim // 2
+        freq = jnp.exp(jnp.arange(half) * -(math.log(10000.0) / (half - 1)))
+        args = t.astype(jnp.float32)[:, None] * freq[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over channels with (std + eps) denominator (ddpm.py:85-95)."""
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = self.param("g", nn.initializers.ones, (self.dim,))
+        b = self.param("b", nn.initializers.zeros, (self.dim,))
+        mean = x.mean(axis=-1, keepdims=True)
+        std = jnp.sqrt(x.var(axis=-1, keepdims=True))
+        return (x - mean) / (std + self.eps) * g + b
+
+
+class LinearAttention(nn.Module):
+    """(ddpm.py:146-166) 1x1-conv qkv + linear attention + 1x1-conv out."""
+    dim: int
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, _ = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = Conv(hidden * 3, 1, use_bias=False)(x)
+        qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = linear_attention(q, k, v)
+        out = out.reshape(b, h, w, hidden)
+        return Conv(self.dim, 1)(out)
+
+
+class AttnBlock(nn.Module):
+    """Residual(PreNorm(LinearAttention)) (ddpm.py:202-233)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x + LinearAttention(self.dim)(ChannelLayerNorm(self.dim)(x))
+
+
+class Block(nn.Module):
+    """conv3x3 -> GroupNorm(8) -> Mish (ddpm.py:109-118)."""
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Conv(self.dim_out, 3, 1, 1)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        return mish(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks with time-embedding add between them (ddpm.py:121-143)."""
+    dim: int
+    dim_out: int
+    use_time_emb: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: Optional[jnp.ndarray]) -> jnp.ndarray:
+        h = Block(self.dim_out)(x)
+        if self.use_time_emb and t is not None:
+            h = h + Dense(self.dim_out)(mish(t))[:, None, None, :]
+        h = Block(self.dim_out)(h)
+        if self.dim != self.dim_out:
+            x = Conv(self.dim_out, 1)(x)
+        return h + x
+
+
+class Unet(nn.Module):
+    """(ddpm.py:170-261).  Input/output NHWC; ``time`` is (B,) int/float."""
+    dim: int
+    out_dim: Optional[int] = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    groups: int = 8
+    channels: int = 3
+    with_time_emb: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time: jnp.ndarray) -> jnp.ndarray:
+        dims = [self.channels] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        num_res = len(in_out)
+
+        if self.with_time_emb:
+            t = SinusoidalPosEmb(self.dim)(time)
+            t = Dense(self.dim * 4)(t)
+            t = mish(t)
+            t = Dense(self.dim)(t)
+        else:
+            t = None
+
+        skips = []
+        for ind, (_, dim_out) in enumerate(in_out):
+            is_last = ind >= num_res - 1
+            x = ResnetBlock(x.shape[-1], dim_out)(x, t)
+            x = ResnetBlock(dim_out, dim_out)(x, t)
+            x = AttnBlock(dim_out)(x)
+            skips.append(x)
+            if not is_last:
+                x = Conv(dim_out, 3, 2, 1)(x)  # Downsample (ddpm.py:75-81)
+
+        mid = dims[-1]
+        x = ResnetBlock(mid, mid)(x, t)
+        x = AttnBlock(mid)(x)
+        x = ResnetBlock(mid, mid)(x, t)
+
+        for dim_in, dim_out in reversed(in_out[1:]):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock(dim_out * 2, dim_in)(x, t)
+            x = ResnetBlock(dim_in, dim_in)(x, t)
+            x = AttnBlock(dim_in)(x)
+            x = ConvTranspose(dim_in, 4, 2, 1)(x)  # Upsample (ddpm.py:66-72)
+
+        out_dim = self.out_dim if self.out_dim is not None else self.channels
+        x = Block(dims[1])(x)
+        return Conv(out_dim, 1)(x)

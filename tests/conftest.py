@@ -5,7 +5,7 @@ without TPU hardware (SURVEY.md §4 test plan).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Synthetic data for datamodule tests (no network egress in CI).
 os.environ.setdefault("IGM_SYNTHETIC_DATA", "1")
+
+import jax  # noqa: E402
+
+# The machine profile pins JAX_PLATFORMS=axon (remote TPU tunnel); tests must
+# run on the in-process CPU backend with 8 virtual devices.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
+assert jax.device_count() == 8
 
 import pytest  # noqa: E402
 from pathlib import Path  # noqa: E402
