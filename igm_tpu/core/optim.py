@@ -1,0 +1,113 @@
+"""Optimizer construction + partial-update helpers.
+
+The reference's per-model ``configure_optimizers`` (torch Adam/RMSprop with
+Step/Lambda LR schedulers) maps to optax transforms here; the K-optimizer
+adversarial pattern (SURVEY.md §3.2) maps to named optimizers over disjoint
+module-name subsets, updated inside one jitted step via ``grad_step``.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .state import TrainState
+
+
+# ------------------------------------------------------------------ schedules
+def step_lr(base_lr: float, gamma: float, steps_per_epoch: int) -> Callable:
+    """torch StepLR(step_size=1 epoch, gamma) parity (`src/models/vae.py:44`)."""
+    spe = max(int(steps_per_epoch), 1)
+
+    def schedule(count):
+        epoch = count // spe
+        return base_lr * (gamma ** epoch)
+
+    return schedule
+
+
+def halving_lr(base_lr: float, drop_lr_epoch: int, steps_per_epoch: int) -> Callable:
+    """torch LambdaLR(0.5 ** (epoch // drop_lr_epoch)) parity (`age.py:53-58`)."""
+    spe = max(int(steps_per_epoch), 1)
+
+    def schedule(count):
+        epoch = count // spe
+        return base_lr * (0.5 ** (epoch // max(int(drop_lr_epoch), 1)))
+
+    return schedule
+
+
+# ----------------------------------------------------------------- optimizers
+def adam(lr, b1: float = 0.9, b2: float = 0.999) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=1e-8)
+
+
+def rmsprop(lr, alpha: float = 0.99) -> optax.GradientTransformation:
+    """torch RMSprop(alpha) parity (`src/models/wgan.py:50-55`)."""
+    return optax.rmsprop(learning_rate=lr, decay=alpha, eps=1e-8)
+
+
+def clip_params(tree: Any, limit: float) -> Any:
+    """WGAN 1-Lipschitz weight clipping (`wgan.py:67-68`), functional form."""
+    return jax.tree_util.tree_map(lambda p: jnp.clip(p, -limit, limit), tree)
+
+
+# -------------------------------------------------------------- named updates
+class OptimizerSet:
+    """Named optimizers over disjoint subsets of TrainState.params."""
+
+    def __init__(self):
+        self._opts: Dict[str, Tuple[optax.GradientTransformation, Tuple[str, ...]]] = {}
+
+    def add(self, name: str, tx: optax.GradientTransformation,
+            module_names: Iterable[str]) -> "OptimizerSet":
+        self._opts[name] = (tx, tuple(module_names))
+        return self
+
+    def names(self):
+        return list(self._opts)
+
+    def modules_of(self, name: str) -> Tuple[str, ...]:
+        return self._opts[name][1]
+
+    def tx(self, name: str) -> optax.GradientTransformation:
+        return self._opts[name][0]
+
+    def init(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        return {
+            name: tx.init({n: params[n] for n in mods})
+            for name, (tx, mods) in self._opts.items()
+        }
+
+    def grad_step(
+        self,
+        state: TrainState,
+        opt_name: str,
+        loss_fn: Callable[[Dict[str, Any]], Tuple[jnp.ndarray, Dict[str, Any]]],
+    ) -> Tuple[TrainState, jnp.ndarray, Dict[str, Any]]:
+        """One optimizer step on the modules owned by ``opt_name``.
+
+        ``loss_fn(full_params) -> (loss, aux)``; gradients are taken only
+        w.r.t. the owned subset (everything else is implicitly
+        stop-gradiented — the JAX equivalent of the reference's
+        ``.detach()`` / ``backward(inputs=...)`` boundaries).  If ``aux``
+        contains ``"mutables"`` the state's mutables are replaced by it.
+        """
+        tx, mods = self._opts[opt_name]
+        sub = {n: state.params[n] for n in mods}
+
+        def wrapped(sub_params):
+            return loss_fn({**state.params, **sub_params})
+
+        (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(sub)
+        updates, new_opt = tx.update(grads, state.opt_states[opt_name], sub)
+        new_sub = optax.apply_updates(sub, updates)
+        state = state.replace(
+            params={**state.params, **new_sub},
+            opt_states={**state.opt_states, opt_name: new_opt},
+        )
+        if isinstance(aux, dict) and "mutables" in aux:
+            state = state.replace(mutables=aux["mutables"])
+        return state, loss, aux

@@ -1,0 +1,245 @@
+"""Trainer: the epoch-loop runtime (replaces PyTorch-Lightning).
+
+The reference delegates its loop to Lightning (SURVEY.md §1 layer 7/8); here
+the runtime is explicit and TPU-shaped:
+
+- ONE jitted train step per model (state donated, so parameters/optimizer
+  state update in place in HBM; no host round-trips on the hot path);
+- batch tensors are host-sharded along the ``data`` mesh axis and fed through
+  a double-buffered device-put prefetcher, so the input pipeline overlaps
+  compute;
+- metrics are fetched only every ``log_every_n_steps`` (device->host syncs
+  are the silent killer of small-model step time);
+- validation fans out ValidationResult to callbacks (grids/FID/traversal),
+  matching Lightning's callback cadence: ``check_val_every_n_epoch``;
+- orbax checkpoints carry {params, opt_states, mutables, step, rng}.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..parallel import mesh as mesh_lib
+from ..utils.utils import get_logger
+from .logging import MetricAccumulator, NoOpLogger, TensorBoardLogger
+
+log = get_logger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        devices: int = 1,
+        max_epochs: int = 20,
+        check_val_every_n_epoch: int = 1,
+        log_every_n_steps: int = 50,
+        limit_train_batches: Optional[int] = None,
+        limit_val_batches: Optional[int] = None,
+        fast_dev_run: bool = False,
+        seed: int = 42,
+        mesh: Optional[Dict[str, int]] = None,
+        ckpt_every_n_epochs: int = 1,
+        resume: Optional[str] = None,
+        callbacks: Sequence[Any] = (),
+        logger: Optional[TensorBoardLogger] = None,
+        enable_checkpointing: bool = True,
+        profile: bool = False,
+        **_: Any,
+    ):
+        self.max_epochs = int(max_epochs)
+        self.check_val_every_n_epoch = int(check_val_every_n_epoch)
+        self.log_every_n_steps = int(log_every_n_steps)
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.fast_dev_run = bool(fast_dev_run)
+        self.seed = int(seed) if seed is not None else 0
+        self.ckpt_every_n_epochs = int(ckpt_every_n_epochs)
+        self.resume = resume
+        self.callbacks = list(callbacks)
+        self.logger = logger if logger is not None else NoOpLogger()
+        self.enable_checkpointing = enable_checkpointing
+        self.profile = profile
+
+        mesh_cfg = mesh or {}
+        data_axis = mesh_cfg.get("data", -1) if isinstance(mesh_cfg, dict) else -1
+        if devices not in (None, -1) and int(devices) > 0 and data_axis in (-1, None):
+            # Lightning `devices: 1` semantics: cap the mesh size.
+            data_axis = -1 if int(devices) >= len(jax.devices()) else int(devices)
+        self.mesh = mesh_lib.make_mesh(data=data_axis if data_axis else 1)
+
+        if self.fast_dev_run:
+            self.max_epochs = 1
+            self.limit_train_batches = 1
+            self.limit_val_batches = 1
+            self.enable_checkpointing = False
+
+        # populated during fit
+        self.state = None
+        self.model = None
+        self.datamodule = None
+        self.current_epoch = 0
+        self.global_step = 0
+        self.callback_metrics: Dict[str, float] = {}
+        self.ckpt_manager = None
+
+    # ------------------------------------------------------------------- data
+    def _epoch_batches(self, arrays, batch_size: int, rng: np.random.Generator,
+                       shuffle: bool, limit: Optional[int]):
+        from ..data.loader import epoch_batches
+        n_dev = self.mesh.devices.size
+        return epoch_batches(arrays, batch_size, rng=rng, shuffle=shuffle,
+                             limit=limit, divisor=n_dev)
+
+    # -------------------------------------------------------------------- fit
+    def fit(self, model, datamodule) -> None:
+        self.model = model
+        self.datamodule = datamodule
+        datamodule.prepare_data()
+        datamodule.setup()
+
+        train_arrays = datamodule.train_arrays()
+        val_arrays = datamodule.val_arrays()
+        batch_size = int(datamodule.batch_size)
+        n_train = len(train_arrays[0])
+        steps_per_epoch = max(n_train // batch_size, 1)
+        if self.limit_train_batches:
+            steps_per_epoch = min(steps_per_epoch, int(self.limit_train_batches))
+        model.steps_per_epoch = steps_per_epoch
+
+        init_rng = jax.random.PRNGKey(self.seed)
+        state = model.init_state(init_rng)
+        state = mesh_lib.replicate(self.mesh, state)
+
+        if self.enable_checkpointing:
+            from .checkpoint import CheckpointManager
+            self.ckpt_manager = CheckpointManager("checkpoints")
+            if self.resume:
+                self.ckpt_manager = CheckpointManager(str(self.resume))
+            if self.resume and self.ckpt_manager.latest_step() is not None:
+                state = self.ckpt_manager.restore(state)
+                state = mesh_lib.replicate(self.mesh, state)
+                log.info("resumed from step %s", int(state.step))
+
+        train_step = jax.jit(model.train_step, donate_argnums=0)
+        val_step = jax.jit(model.validation_step, static_argnames=("sample",))
+
+        data_rng = np.random.default_rng(self.seed)
+        acc = MetricAccumulator()
+        start_epoch = int(jax.device_get(state.step)) // steps_per_epoch
+        self.global_step = int(jax.device_get(state.step))
+        pending_metrics = None  # (step, device metrics) fetched one step late
+
+        t_train = time.time()
+        for epoch in range(start_epoch, self.max_epochs):
+            self.current_epoch = epoch
+            acc.reset()
+            epoch_t0 = time.time()
+            n_batches = 0
+            from ..data.loader import DevicePrefetcher
+            batches = self._epoch_batches(train_arrays, batch_size, data_rng,
+                                          shuffle=True, limit=self.limit_train_batches)
+            prefetcher = DevicePrefetcher(batches, self.mesh)
+            for batch in prefetcher:
+                state, metrics = train_step(state, batch)
+                if pending_metrics is not None:
+                    step_no, dev_m = pending_metrics
+                    host_m = {k: float(v) for k, v in jax.device_get(dev_m).items()}
+                    acc.update(host_m)
+                    self.logger.log_scalars(host_m, step_no)
+                    pending_metrics = None
+                if self.global_step % self.log_every_n_steps == 0:
+                    pending_metrics = (self.global_step, metrics)
+                self.global_step += 1
+                n_batches += 1
+            if pending_metrics is not None:  # flush the epoch's last sample
+                step_no, dev_m = pending_metrics
+                host_m = {k: float(v) for k, v in jax.device_get(dev_m).items()}
+                acc.update(host_m)
+                self.logger.log_scalars(host_m, step_no)
+                pending_metrics = None
+            jax.block_until_ready(state.params)
+            self.state = state
+            epoch_time = time.time() - epoch_t0
+            imgs_per_sec = n_batches * batch_size / max(epoch_time, 1e-9)
+            self.logger.log_scalar("perf/imgs_per_sec", imgs_per_sec, self.global_step)
+            self.logger.log_scalar("perf/epoch_time_sec", epoch_time, self.global_step)
+            self.callback_metrics.update(acc.compute())
+            log.info("epoch %d done in %.1fs (%.0f imgs/s) %s", epoch, epoch_time,
+                     imgs_per_sec,
+                     {k: round(v, 4) for k, v in list(acc.compute().items())[:6]})
+
+            if (epoch + 1) % self.check_val_every_n_epoch == 0 or epoch == self.max_epochs - 1:
+                self._run_validation(val_step, val_arrays, batch_size, epoch)
+
+            model.on_train_epoch_end(self)
+            for cb in self.callbacks:
+                if hasattr(cb, "on_train_epoch_end"):
+                    cb.on_train_epoch_end(self, model)
+
+            if (self.enable_checkpointing and self.ckpt_manager is not None
+                    and (epoch + 1) % self.ckpt_every_n_epochs == 0):
+                self.ckpt_manager.save(int(jax.device_get(state.step)), state)
+
+        self.state = state
+        if self.enable_checkpointing and self.ckpt_manager is not None:
+            self.ckpt_manager.save(int(jax.device_get(state.step)), state)
+            self.ckpt_manager.wait()
+        for cb in self.callbacks:
+            if hasattr(cb, "on_train_end"):
+                cb.on_train_end(self, model)
+        self.logger.finalize()
+        log.info("fit finished in %.1fs", time.time() - t_train)
+
+    # ------------------------------------------------------------- validation
+    def _run_validation(self, val_step, val_arrays, batch_size: int,
+                        epoch: int) -> None:
+        from ..models.base import ValidationResult
+
+        model = self.model
+        for cb in self.callbacks:
+            if hasattr(cb, "on_validation_epoch_start"):
+                cb.on_validation_epoch_start(self, model)
+        acc = MetricAccumulator()
+        rng = np.random.default_rng(self.seed + 1)
+        batches = self._epoch_batches(val_arrays, batch_size, rng,
+                                      shuffle=False, limit=self.limit_val_batches)
+        for batch_idx, batch in enumerate(batches):
+            dev_batch = mesh_lib.shard_batch(self.mesh, batch)
+            step_rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed + 7919), epoch * 100003 + batch_idx)
+            result, metrics = val_step(self.state, dev_batch, step_rng,
+                                       sample=(batch_idx == 0))
+            host = jax.device_get((result, metrics))
+            result_host, metrics_host = host
+            acc.update({k: float(v) for k, v in metrics_host.items()})
+            # jitted validation_step returns a plain dict (pytree); wrap it
+            out = ValidationResult(
+                others={k: _np(v) for k, v in (result_host.get("others") or {}).items()
+                        if v is not None},
+                real_image=_np(result_host.get("real_image")),
+                fake_image=_np(result_host.get("fake_image")),
+                recon_image=_np(result_host.get("recon_image")),
+                label=_np(result_host.get("label")),
+                encode_latent=_np(result_host.get("encode_latent")),
+            )
+            for cb in self.callbacks:
+                if hasattr(cb, "on_validation_batch_end"):
+                    cb.on_validation_batch_end(self, model, out, batch, batch_idx)
+        val_metrics = acc.compute()
+        self.callback_metrics.update(val_metrics)
+        self.logger.log_scalars(val_metrics, self.global_step)
+        for cb in self.callbacks:
+            if hasattr(cb, "on_validation_epoch_end"):
+                cb.on_validation_epoch_end(self, model)
+
+    def log(self, tag: str, value: float) -> None:
+        """Callback-facing scalar logging (FID uses this)."""
+        self.callback_metrics[tag] = float(value)
+        self.logger.log_scalar(tag, value, self.global_step)
+
+
+def _np(x):
+    return None if x is None else np.asarray(x)

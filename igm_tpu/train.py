@@ -1,0 +1,43 @@
+"""Train driver (parity: src/train.py).
+
+``train(config)``: seed -> instantiate datamodule -> model (non-recursive,
+datamodule passed as *config*, `src/train.py:27`) -> callbacks -> logger ->
+Trainer -> fit.  Returns ``optimized_metric`` for sweepers.
+"""
+from __future__ import annotations
+
+from typing import Any, List
+
+from .config import instantiate
+from .utils.utils import count_params, get_logger
+
+log = get_logger(__name__)
+
+
+def train(config: Any):
+    datamodule = instantiate(config.datamodule)
+    log.info("Instantiated datamodule <%s>", config.datamodule._target_)
+
+    model = instantiate(config.model, datamodule=config.datamodule)
+    log.info("Instantiated model <%s>", config.model._target_)
+
+    callbacks: List[Any] = []
+    if "callbacks" in config and config.callbacks:
+        for _, cb_conf in config.callbacks.items():
+            if isinstance(cb_conf, dict) and "_target_" in cb_conf:
+                callbacks.append(instantiate(cb_conf))
+
+    logger = instantiate(config.logger) if config.get("logger") else None
+
+    trainer = instantiate(config.trainer, callbacks=callbacks, logger=logger)
+    if config.get("seed") is not None:
+        trainer.seed = int(config["seed"])
+
+    trainer.fit(model=model, datamodule=datamodule)
+    if trainer.state is not None:
+        log.info("trained params: %s", count_params(trainer.state.params))
+
+    metric = config.get("optimized_metric")
+    if metric:
+        return trainer.callback_metrics.get(metric)
+    return None

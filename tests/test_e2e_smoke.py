@@ -1,0 +1,103 @@
+"""End-to-end smoke tests: compose config -> train N batches -> validate.
+
+The reference's only smoke mechanism is Lightning fast_dev_run
+(SURVEY.md §4); these tests are its equivalent, one per model family,
+running on the 8-device CPU mesh with synthetic data.
+"""
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from igm_tpu.config import compose  # noqa: E402
+from igm_tpu.train import train  # noqa: E402
+
+FAST = [
+    "trainer.max_epochs=1",
+    "trainer.limit_train_batches=3",
+    "trainer.limit_val_batches=1",
+    "trainer.log_every_n_steps=1",
+    "trainer.enable_checkpointing=False",
+    "datamodule.batch_size=16",
+    "print_config=False",
+]
+
+# every model family x its cheapest dataset config (SURVEY.md §2 matrix)
+SMOKE_EXPERIMENTS = [
+    "vae/mnist_mlp",
+    "vae/mnist_conv",
+    "beta_vae/dsprites",
+    "cvae/mnist",
+    "vanilla_gan/mnist_mlp",
+    "vanilla_gan/mnist_conv",
+    "lsgan/conv_mnist",
+    "ggan/mnist_conv",
+    "wgan/mnist_conv",
+    "wgan_gp/mnist_conv",
+    "infogan/mnist",
+    "bigan/mnist",
+    "aae/mnist",
+    "age/mnist",
+    "factor_vae/dsprites",
+    "vaegan/mnist",
+    "vqvae/mnist",
+    "made/mnist",
+    "pixelcnn/mnist",
+    "tar/mnist",
+    "ddpm/mnist",
+]
+
+
+def _run(config_dir, tmp_path, experiment, extra=()):
+    overrides = [f"experiment={experiment}", *FAST, *extra]
+    cfg = compose(config_dir, overrides)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        train(cfg)
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.parametrize("experiment", SMOKE_EXPERIMENTS)
+def test_smoke(config_dir, tmp_path, experiment):
+    extra = []
+    if experiment.startswith("ddpm"):
+        # tiny UNet + short chain so the scan sampler stays fast on CPU
+        extra = ["model.hidden_dim=16", "model.timesteps=8",
+                 "datamodule.batch_size=8"]
+    if experiment.startswith(("pixelcnn", "made", "tar")):
+        extra = ["datamodule.batch_size=8"]
+        if experiment.startswith("pixelcnn"):
+            extra.append("model.hidden_dim=8")
+        if experiment.startswith("made"):
+            extra.append("model.hidden_dim=64")
+        if experiment.startswith("tar"):
+            extra += ["model.d_model=32", "model.num_layers=1"]
+    _run(config_dir, tmp_path, experiment, extra)
+
+
+def test_checkpoint_resume(config_dir, tmp_path):
+    cfg = compose(config_dir, [
+        "experiment=vae/mnist_mlp", "trainer.max_epochs=1",
+        "trainer.limit_train_batches=2", "trainer.limit_val_batches=1",
+        "datamodule.batch_size=16", "print_config=False",
+    ])
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        train(cfg)
+        assert (tmp_path / "checkpoints").exists()
+        # resume: runs remaining epochs (none) without error
+        cfg2 = compose(config_dir, [
+            "experiment=vae/mnist_mlp", "trainer.max_epochs=2",
+            "trainer.limit_train_batches=2", "trainer.limit_val_batches=1",
+            "datamodule.batch_size=16", "print_config=False",
+            f"trainer.resume={tmp_path / 'checkpoints'}",
+        ])
+        train(cfg2)
+    finally:
+        os.chdir(cwd)
