@@ -49,6 +49,7 @@ class ModuleDict:
         mutables: Dict[str, Any],
         *args: Any,
         train: bool = True,
+        update_stats: bool = True,
         rngs: Optional[Dict[str, jax.Array]] = None,
         **kwargs: Any,
     ):
@@ -56,14 +57,17 @@ class ModuleDict:
 
         In train mode, batch-stats collections update (torch train-mode BN
         parity — SURVEY.md §7 hard-part 3); in eval mode running averages are
-        used and mutables pass through unchanged.
+        used and mutables pass through unchanged.  ``update_stats=False``
+        keeps train-mode normalisation (batch statistics) but does NOT record
+        them — needed when differentiating through the module a second time
+        (WGAN-GP gradient penalty).
         """
         module = self.modules[name]
         own_mut = mutables.get(name, {})
         variables = {"params": params[name], **own_mut}
         if self._takes_train[name]:
             kwargs = dict(kwargs, train=train)
-        if train and own_mut:
+        if train and own_mut and update_stats:
             out, new_vars = module.apply(variables, *args, rngs=rngs,
                                          mutable=list(own_mut.keys()), **kwargs)
             return out, dict(new_vars)

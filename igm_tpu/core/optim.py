@@ -111,3 +111,30 @@ class OptimizerSet:
         if isinstance(aux, dict) and "mutables" in aux:
             state = state.replace(mutables=aux["mutables"])
         return state, loss, aux
+
+    def apply_grads(self, state: TrainState, opt_name: str,
+                    grads: Dict[str, Any]) -> TrainState:
+        """Apply externally-computed gradients (VAE-GAN's scaled/summed
+        gradient recipe, speed_gan/BiGAN's shared-forward vjp pullbacks)."""
+        tx, mods = self._opts[opt_name]
+        sub = {n: state.params[n] for n in mods}
+        updates, new_opt = tx.update(grads, state.opt_states[opt_name], sub)
+        new_sub = optax.apply_updates(sub, updates)
+        return state.replace(
+            params={**state.params, **new_sub},
+            opt_states={**state.opt_states, opt_name: new_opt},
+        )
+
+
+def grouped_adam(lr_by_module: Dict[str, Any], b1: float,
+                 b2: float) -> optax.GradientTransformation:
+    """One optimizer with per-module-name learning rates (torch param-groups
+    parity — InfoGAN's opt_g has lrG for netG and lrQ for netQ,
+    `src/models/info_gan.py:57-61`)."""
+    transforms = {name: adam(lr, b1, b2) for name, lr in lr_by_module.items()}
+
+    def label_fn(params):
+        return {name: jax.tree_util.tree_map(lambda _: name, sub)
+                for name, sub in params.items()}
+
+    return optax.multi_transform(transforms, label_fn)
