@@ -60,7 +60,13 @@ def instantiate(cfg: Any, /, **kwargs: Any) -> Any:
     if cfg is None:
         raise TypeError("instantiate(None)")
     if not isinstance(cfg, dict):
-        raise TypeError(f"instantiate expects a config mapping, got {type(cfg)}")
+        # accept any Mapping (e.g. flax FrozenDict when a config rides
+        # through a flax Module attribute)
+        try:
+            cfg = dict(cfg)
+        except TypeError:
+            raise TypeError(
+                f"instantiate expects a config mapping, got {type(cfg)}")
     if "_target_" not in cfg:
         raise ValueError(f"config has no _target_: {list(cfg.keys())}")
     cls = resolve_target(str(cfg["_target_"]))

@@ -82,11 +82,13 @@ class BaseModel:
         return jnp.zeros((n, self.height, self.width, self.channels), jnp.float32)
 
     # ------------------------------------------------------- default sampling
+    decoder_module_name: str = "decoder"
+
     def forward(self, state: TrainState, z: jnp.ndarray) -> jnp.ndarray:
-        """Decode latents with the module named 'decoder' (override if named
-        differently).  Used by traversal/2D-grid callbacks."""
-        out, _ = self.modules.apply("decoder", state.params, state.mutables,
-                                    z, train=False)
+        """Decode latents with the generator module (name configurable via
+        ``decoder_module_name``).  Used by traversal/2D-grid callbacks."""
+        out, _ = self.modules.apply(self.decoder_module_name, state.params,
+                                    state.mutables, z, train=False)
         return out.reshape(z.shape[0], self.height, self.width, self.channels)
 
     def sample(self, state: TrainState, rng: jax.Array, n: int) -> jnp.ndarray:

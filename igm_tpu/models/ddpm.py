@@ -1,0 +1,141 @@
+"""DDPM (parity: src/models/ddpm.py:294-521) — the flagship model.
+
+Training: t ~ U[0, T), q_sample, epsilon-prediction l1/l2 loss
+(`ddpm.py:446-466`).  Sampling: the reference's 1000-iteration Python loop
+(`ddpm.py:399-409`) is ONE ``lax.scan`` over reversed timesteps with the
+beta tables as scan constants — the whole ancestral chain compiles to a
+single device program (SURVEY.md §3.4 TPU rebuild note).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core.modules import ModuleDict
+from ..core.optim import OptimizerSet, adam
+from ..core.state import TrainState, bump
+from ..networks.unet import Unet
+from ..ops import diffusion as gd
+from .base import BaseModel
+
+
+class DDPM(BaseModel):
+    def __init__(self, datamodule: Any, hidden_dim: int = 64,
+                 timesteps: int = 1000, loss_type: str = "l1",
+                 dim_mults: Sequence[int] = (1, 2, 4, 8), lr: float = 2e-4,
+                 b1: float = 0.5, b2: float = 0.999, optim: str = "adam",
+                 beta_schedule: str = "cosine", sample_batch: int = 64,
+                 **kwargs):
+        super().__init__(datamodule)
+        self.save_hyperparameters(hidden_dim=hidden_dim, timesteps=timesteps,
+                                  loss_type=loss_type,
+                                  dim_mults=list(dim_mults), lr=lr, b1=b1,
+                                  b2=b2, beta_schedule=beta_schedule,
+                                  sample_batch=sample_batch)
+        self.timesteps = int(timesteps)
+        self.tables = gd.make_tables(self.timesteps, beta_schedule)
+        self.modules = ModuleDict(
+            denoise=Unet(dim=hidden_dim, channels=self.channels,
+                         dim_mults=tuple(dim_mults)))
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        hp = self.hparams
+        self.optimizers = OptimizerSet().add(
+            "opt", adam(hp.lr, hp.b1, hp.b2), ["denoise"])
+        return self.make_state(rng, {
+            "denoise": (self.dummy_image_batch(1), jnp.zeros((1,)))})
+
+    # ------------------------------------------------------------------ train
+    def train_step(self, state: TrainState, batch):
+        imgs_raw, _ = batch
+        state, rngs = state.next_rng(2)
+        t_rng, noise_rng = rngs
+        imgs = self.preprocess(imgs_raw)
+        n = imgs.shape[0]
+        t = jax.random.randint(t_rng, (n,), 0, self.timesteps)
+        noise = jax.random.normal(noise_rng, imgs.shape)
+        x_noisy = gd.q_sample(self.tables, imgs, t, noise)
+
+        def loss_fn(params):
+            pred, mut = self.modules.apply("denoise", params, state.mutables,
+                                           x_noisy, t)
+            if self.hparams.loss_type == "l1":
+                loss = jnp.abs(noise - pred).mean()
+            elif self.hparams.loss_type == "l2":
+                loss = jnp.mean((noise - pred) ** 2)
+            else:
+                raise NotImplementedError(self.hparams.loss_type)
+            return loss, {"metrics": {"train_loss/loss": loss},
+                          "mutables": {**state.mutables, "denoise": mut}}
+
+        state, _, aux = self.optimizers.grad_step(state, "opt", loss_fn)
+        return bump(state), aux["metrics"]
+
+    # --------------------------------------------------------------- sampling
+    def _denoise(self, state, x, t):
+        out, _ = self.modules.apply("denoise", state.params, state.mutables,
+                                    x, t, train=False)
+        return out
+
+    def p_sample(self, state, x, t, rng, clip_denoised: bool = True):
+        """One reverse step p(x_{t-1} | x_t); t is a (N,) int32 batch
+        (ddpm.py:378-397)."""
+        eps = self._denoise(state, x, t.astype(jnp.float32))
+        x_recon = gd.predict_start_from_noise(self.tables, x, t, eps)
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        mean, _var, log_var = gd.q_posterior(self.tables, x_recon, x, t)
+        noise = jax.random.normal(rng, x.shape)
+        nonzero = (t > 0).astype(x.dtype).reshape(-1, *([1] * (x.ndim - 1)))
+        return mean + nonzero * jnp.exp(0.5 * log_var) * noise
+
+    def p_sample_loop(self, state, rng, shape, t_start: int | None = None,
+                      init_x: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Full ancestral chain as one lax.scan (ddpm.py:399-409)."""
+        t_start = self.timesteps if t_start is None else t_start
+        init_rng, chain_rng = jax.random.split(rng)
+        x = (jax.random.normal(init_rng, shape) if init_x is None else init_x)
+
+        def step(carry, t):
+            x, key = carry
+            key, sub = jax.random.split(key)
+            tb = jnp.full((shape[0],), t, jnp.int32)
+            x = self.p_sample(state, x, tb, sub)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, chain_rng),
+                                 jnp.arange(t_start - 1, -1, -1))
+        return x
+
+    def sample(self, state: TrainState, rng: jax.Array, n: int) -> jnp.ndarray:
+        return self.p_sample_loop(
+            state, rng, (n, self.height, self.width, self.channels))
+
+    def interpolate(self, state, rng, x1, x2, t: int | None = None,
+                    weight: float = 0.5) -> jnp.ndarray:
+        """(ddpm.py:417-431) diffuse both to t, lerp, denoise back."""
+        t = self.timesteps - 1 if t is None else t
+        n = x1.shape[0]
+        r1, r2, r3 = jax.random.split(rng, 3)
+        tb = jnp.full((n,), t, jnp.int32)
+        xt1 = gd.q_sample(self.tables, x1, tb, jax.random.normal(r1, x1.shape))
+        xt2 = gd.q_sample(self.tables, x2, tb, jax.random.normal(r2, x2.shape))
+        img = (1.0 - weight) * xt1 + weight * xt2
+        return self.p_sample_loop(state, r3, x1.shape, t_start=t, init_x=img)
+
+    def validation_step(self, state: TrainState, batch, rng: jax.Array,
+                        sample: bool = False):
+        imgs_raw, _ = batch
+        imgs = self.preprocess(imgs_raw)
+        n = imgs.shape[0]
+        noise_rng, sample_rng = jax.random.split(rng)
+        t = jnp.full((n,), self.timesteps - 1, jnp.int32)
+        diffusion_imgs = gd.q_sample(self.tables, imgs, t,
+                                     jax.random.normal(noise_rng, imgs.shape))
+        result = {"real_image": imgs, "others": {"diffusion": diffusion_imgs}}
+        if sample:
+            result["fake_image"] = self.sample(
+                state, sample_rng, int(self.hparams.sample_batch))
+        return result, {}

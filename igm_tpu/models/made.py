@@ -1,0 +1,171 @@
+"""MADE — Masked Autoencoder for Distribution Estimation (parity:
+src/models/made.py).
+
+Masked MLP over the flattened image with 256-way softmax per pixel; mask
+degrees sampled once at construction (`made.py:43-59`, numpy RNG here —
+masks are static constants, applied functionally as ``weight * mask`` every
+forward instead of the reference's buffer mutation).  Sigmoid between hidden
+layers (`made.py:66-70`).  bpd loss (`made.py:96-105`).
+
+The O(H·W) Python sampling loop (`made.py:107-135`) is a ``lax.scan`` over
+the pixel index with a full-network forward per step — one compiled program.
+
+NOTE: flattening order is NHWC -> (h w c); the reference flattens torch NCHW
+-> (c h w).  Identical for the only configured dataset (MNIST, C=1).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core.modules import ModuleDict
+from ..core.optim import OptimizerSet, adam, step_lr
+from ..core.state import TrainState, bump
+from ..networks.base import make_bias_init, torch_kernel_init
+from .base import BaseModel
+
+LOG2 = float(np.log(2.0))
+
+
+def build_masks(in_dim: int, hidden_dim: int, n_layer: int, n_class: int,
+                seed: int = 0):
+    """Degree-based autoregressive masks (made.py:43-59)."""
+    rng = np.random.default_rng(seed)
+    units = [np.arange(in_dim)]
+    low = 0
+    for _ in range(n_layer):
+        hidden = rng.integers(low, in_dim, size=(hidden_dim,))
+        units.append(hidden)
+        low = int(hidden.min())
+    out_unit = np.repeat(np.arange(in_dim), n_class) - 1
+    units.append(out_unit)
+    masks = []
+    for in_u, out_u in zip(units[:-1], units[1:]):
+        masks.append((out_u[:, None] >= in_u[None, :]).astype(np.float32))
+    return masks  # each (out_features, in_features)
+
+
+class MaskedLinear(nn.Module):
+    mask: Any  # (out, in) numpy array, static
+
+    @nn.compact
+    def __call__(self, x):
+        out_f, in_f = self.mask.shape
+        w = self.param("kernel", torch_kernel_init, (in_f, out_f))
+        b = self.param("bias", make_bias_init(in_f), (out_f,))
+        return x @ (w * jnp.asarray(self.mask).T) + b
+
+
+class MADENet(nn.Module):
+    in_dim: int
+    hidden_dim: int
+    n_class: int
+    n_layer: int
+    mask_seed: int = 0
+
+    def setup(self):
+        self.masks = build_masks(self.in_dim, self.hidden_dim, self.n_layer,
+                                 self.n_class, self.mask_seed)
+        self.layers = [MaskedLinear(m) for m in self.masks]
+
+    def __call__(self, x_flat, train: bool = True):
+        """x_flat: (N, D) floats -> logits (N, D, n_class)."""
+        x = x_flat
+        for layer in self.layers[:-1]:
+            x = jax.nn.sigmoid(layer(x))
+        x = self.layers[-1](x)
+        return x.reshape(x.shape[0], self.in_dim, self.n_class)
+
+
+class MADE(BaseModel):
+    def __init__(self, datamodule: Any, hidden_dim: int = 1024,
+                 n_layer: int = 3, lr: float = 1e-3):
+        super().__init__(datamodule)
+        self.save_hyperparameters(hidden_dim=hidden_dim, n_layer=n_layer,
+                                  lr=lr)
+        self.in_dim = self.width * self.height * self.channels
+        self.modules = ModuleDict(
+            net=MADENet(self.in_dim, hidden_dim, n_class=256,
+                        n_layer=n_layer))
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        hp = self.hparams
+        tx = adam(step_lr(hp.lr, 0.99, self.steps_per_epoch))
+        self.optimizers = OptimizerSet().add("opt", tx, ["net"])
+        return self.make_state(rng, {"net": (jnp.zeros((1, self.in_dim)),)})
+
+    # ---------------------------------------------------------------- helpers
+    def _flatten(self, imgs):
+        return imgs.reshape(imgs.shape[0], -1)
+
+    def _targets(self, imgs_flat):
+        if self.input_normalize:
+            return ((imgs_flat + 1.0) / 2.0 * 255.0).astype(jnp.int32)
+        return (imgs_flat * 255.0).astype(jnp.int32)
+
+    def _bpd(self, logits, targets):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return nll.mean(axis=1).mean() / LOG2
+
+    # ------------------------------------------------------------------ steps
+    def train_step(self, state: TrainState, batch):
+        imgs_raw, _ = batch
+        state, _rng = state.next_rng()
+        imgs = self._flatten(self.preprocess(imgs_raw))
+        targets = self._targets(imgs)
+
+        def loss_fn(params):
+            logits, mut = self.modules.apply("net", params, state.mutables,
+                                             imgs)
+            bpd = self._bpd(logits, targets)
+            return bpd, {"metrics": {"train_bpd": bpd},
+                         "mutables": {**state.mutables, "net": mut}}
+
+        state, _, aux = self.optimizers.grad_step(state, "opt", loss_fn)
+        return bump(state), aux["metrics"]
+
+    # --------------------------------------------------------------- sampling
+    def sample_images(self, state: TrainState, rng: jax.Array, n: int,
+                      init_flat: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """lax.scan over pixel index; -1 entries are (re)generated, parity
+        with the reference's fill-the-minus-ones contract (made.py:107)."""
+        d = self.in_dim
+        img = jnp.full((n, d), -1.0) if init_flat is None else init_flat
+        keys = jax.random.split(rng, d)
+
+        def step(carry, xs):
+            img = carry
+            i, key = xs
+            logits, _ = self.modules.apply("net", state.params,
+                                           state.mutables, img, train=False)
+            pix_logits = logits[:, i, :]  # (N, 256)
+            draw = jax.random.categorical(key, pix_logits, axis=-1)
+            value = draw.astype(jnp.float32) / 255.0
+            if self.input_normalize:
+                value = value * 2.0 - 1.0
+            keep = img[:, i] != -1.0
+            new_col = jnp.where(keep, img[:, i], value)
+            img = img.at[:, i].set(new_col)
+            return img, None
+
+        img, _ = jax.lax.scan(step, img, (jnp.arange(d), keys))
+        return img.reshape(n, self.height, self.width, self.channels)
+
+    def validation_step(self, state: TrainState, batch, rng: jax.Array,
+                        sample: bool = False):
+        imgs_raw, _ = batch
+        imgs = self._flatten(self.preprocess(imgs_raw))
+        targets = self._targets(imgs)
+        logits, _ = self.modules.apply("net", state.params, state.mutables,
+                                       imgs, train=False)
+        bpd = self._bpd(logits, targets)
+        result = {"real_image": self.preprocess(imgs_raw)}
+        if sample:
+            result["fake_image"] = self.sample_images(state, rng,
+                                                      imgs.shape[0])
+        return result, {"val_bpd": bpd}

@@ -1,0 +1,236 @@
+"""TAR — Transformer autoregressive over binarized pixels (parity:
+src/models/tar.py).
+
+Learned factored H/W positional embeddings + shared first-token embedding
+(`tar.py:14-31`); <sos> doubles as the class token when class_cond
+(`tar.py:79-83`); causal tril mask (`tar.py:95`); binarisation thresholds
+the NORMALIZED pixel at 0.5 (`tar.py:76-77` operates on the transformed
+tensor — quirk preserved).  Token-by-token sampling, including
+inpainting-from-mask completion (`tar.py:128-145`), is a ``lax.scan`` over
+sequence positions with a full causal forward per step (positions > i hold
+junk that the mask makes unreachable from position i).
+
+The torch ``nn.TransformerEncoder`` (post-LN, ReLU FFN, dropout 0.1) is
+re-implemented as a Flax module; sequences are batch-major (N, S, d) — the
+TPU-friendly layout — vs the reference's (S, N, d).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core.modules import ModuleDict
+from ..core.optim import OptimizerSet, adam, step_lr
+from ..core.state import TrainState, bump
+from ..networks.base import Dense
+from .base import BaseModel
+
+LOG2 = float(np.log(2.0))
+
+
+class TransformerEncoderLayer(nn.Module):
+    """torch nn.TransformerEncoderLayer parity: post-norm, ReLU, dropout."""
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 1024
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = True):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.nhead, qkv_features=self.d_model,
+            dropout_rate=self.dropout, deterministic=not train)
+        a = attn(x, x, mask=mask)
+        a = nn.Dropout(self.dropout, deterministic=not train)(a)
+        x = nn.LayerNorm(epsilon=1e-5)(x + a)
+        f = Dense(self.dim_feedforward)(x)
+        f = nn.relu(f)
+        f = nn.Dropout(self.dropout, deterministic=not train)(f)
+        f = Dense(self.d_model)(f)
+        f = nn.Dropout(self.dropout, deterministic=not train)(f)
+        return nn.LayerNorm(epsilon=1e-5)(x + f)
+
+
+class TARNet(nn.Module):
+    n_tokens: int
+    d_model: int
+    nhead: int
+    num_layers: int
+    height: int
+    width: int
+    class_cond: bool
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, tokens, train: bool = True):
+        """tokens: (N, S) int32 with S <= 1 + H*W*C -> logits (N, S, n_tokens)."""
+        n, s = tokens.shape
+        pixel_embed = nn.Embed(self.n_tokens, self.d_model,
+                               embedding_init=nn.initializers.normal(1.0))
+        cond_embed = nn.Embed(self.n_classes if self.class_cond else 1,
+                              self.d_model,
+                              embedding_init=nn.initializers.normal(1.0))
+        h_pe = self.param("h_pe", nn.initializers.normal(1.0),
+                          (self.height, self.d_model))
+        w_pe = self.param("w_pe", nn.initializers.normal(1.0),
+                          (self.width, self.d_model))
+        first_pe = self.param("first_pe", nn.initializers.normal(1.0),
+                              (1, self.d_model))
+
+        emb0 = cond_embed(tokens[:, :1])                 # (N, 1, d)
+        emb_rest = pixel_embed(tokens[:, 1:])            # (N, S-1, d)
+        emb = jnp.concatenate([emb0, emb_rest], axis=1)
+
+        # factored positional encodings (tar.py:14-31): position i>0 maps to
+        # pixel (i-1) in (h, w) raster order
+        hw = self.height * self.width
+        h_full = jnp.repeat(h_pe, self.width, axis=0)    # (H*W, d)
+        w_full = jnp.tile(w_pe, (self.height, 1))        # (H*W, d)
+        pos = jnp.concatenate([first_pe, h_full], axis=0) \
+            + jnp.concatenate([first_pe, w_full], axis=0)  # (1+H*W, d)
+        emb = emb + pos[:s][None, :, :]
+
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        x = emb
+        for _ in range(self.num_layers):
+            x = TransformerEncoderLayer(self.d_model, self.nhead,
+                                        1024)(x, causal, train=train)
+        return Dense(self.n_tokens)(x)
+
+
+class TAR(BaseModel):
+    def __init__(self, datamodule: Any = None, lr: float = 1e-4,
+                 b1: float = 0.9, b2: float = 0.999, d_model: int = 256,
+                 nhead: int = 4, num_layers: int = 4,
+                 class_cond: bool = False, n_classes: int = 10):
+        super().__init__(datamodule)
+        self.save_hyperparameters(lr=lr, b1=b1, b2=b2, d_model=d_model,
+                                  nhead=nhead, num_layers=num_layers,
+                                  class_cond=class_cond, n_classes=n_classes)
+        self.n_tokens = 2  # binary pixels + <sos> shares the cond embedding
+        self.seq_len = 1 + self.height * self.width * self.channels
+        self.modules = ModuleDict(
+            net=TARNet(self.n_tokens, d_model, nhead, num_layers,
+                       self.height, self.width, bool(class_cond),
+                       int(n_classes)))
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        hp = self.hparams
+        tx = adam(step_lr(hp.lr, 0.99, self.steps_per_epoch), hp.b1, hp.b2)
+        self.optimizers = OptimizerSet().add("opt", tx, ["net"])
+        return self.make_state(rng, {
+            "net": (jnp.zeros((1, self.seq_len), jnp.int32),)})
+
+    # ---------------------------------------------------------------- tokens
+    def img2tokens(self, imgs, labels):
+        n = imgs.shape[0]
+        binary = (imgs >= 0.5).astype(jnp.int32)  # threshold quirk (tar.py:76)
+        toks = binary.reshape(n, -1)  # (h w c) raster order
+        if self.hparams.class_cond:
+            sos = labels.astype(jnp.int32).reshape(n, 1)
+        else:
+            sos = jnp.zeros((n, 1), jnp.int32)
+        return jnp.concatenate([sos, toks], axis=1)  # (N, S)
+
+    def tokens2img(self, tokens):
+        n = tokens.shape[0]
+        return tokens[:, 1:].reshape(n, self.height, self.width,
+                                     self.channels).astype(jnp.float32)
+
+    def cal_loss(self, params, mutables, tokens, train: bool,
+                 rngs: Optional[dict] = None):
+        logits, mut = self.modules.apply("net", params, mutables, tokens,
+                                         train=train, rngs=rngs)
+        logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        nll = -jnp.take_along_axis(logp, tokens[:, 1:, None],
+                                   axis=-1)[..., 0]  # (N, S-1)
+        return nll.sum(axis=1).mean(), mut
+
+    # ------------------------------------------------------------------ steps
+    def train_step(self, state: TrainState, batch):
+        imgs_raw, labels = batch
+        state, drop_rng = state.next_rng()
+        imgs = self.preprocess(imgs_raw)
+        tokens = self.img2tokens(imgs, labels)
+        denom = self.height * self.width * self.channels
+
+        def loss_fn(params):
+            loss, mut = self.cal_loss(params, state.mutables, tokens,
+                                      train=True, rngs={"dropout": drop_rng})
+            metrics = {"train_log/nll": loss,
+                       "train_log/bpd": loss / denom / LOG2}
+            return loss, {"metrics": metrics,
+                          "mutables": {**state.mutables, "net": mut}}
+
+        state, _, aux = self.optimizers.grad_step(state, "opt", loss_fn)
+        return bump(state), aux["metrics"]
+
+    # --------------------------------------------------------------- sampling
+    def sample_tokens(self, state: TrainState, rng: jax.Array,
+                      init_tokens: jnp.ndarray) -> jnp.ndarray:
+        """Fill every -1 position autoregressively (tar.py:137-143)."""
+        n, s = init_tokens.shape
+        keys = jax.random.split(rng, s - 1)
+
+        def step(tokens, xs):
+            i, key = xs  # predicting position i+1 from prefix [0..i]
+            safe = jnp.maximum(tokens, 0)
+            logits, _ = self.modules.apply("net", state.params,
+                                           state.mutables, safe, train=False)
+            pred = logits[:, i, :]  # (N, n_tokens)
+            draw = jax.random.categorical(key, pred, axis=-1).astype(jnp.int32)
+            cur = tokens[:, i + 1]
+            new = jnp.where(cur != -1, cur, draw)
+            tokens = tokens.at[:, i + 1].set(new)
+            return tokens, None
+
+        tokens, _ = jax.lax.scan(step, init_tokens,
+                                 (jnp.arange(s - 1), keys))
+        return tokens
+
+    def sample(self, state: TrainState, rng: jax.Array, n: int,
+               labels=None) -> jnp.ndarray:
+        tokens = jnp.full((n, self.seq_len), -1, jnp.int32)
+        if self.hparams.class_cond and labels is not None:
+            tokens = tokens.at[:, 0].set(labels.astype(jnp.int32))
+        else:
+            tokens = tokens.at[:, 0].set(0)
+        tokens = self.sample_tokens(state, rng, tokens)
+        return self.tokens2img(tokens)
+
+    def validation_step(self, state: TrainState, batch, rng: jax.Array,
+                        sample: bool = False):
+        imgs_raw, labels = batch
+        imgs = self.preprocess(imgs_raw)
+        n = imgs.shape[0]
+        denom = self.height * self.width * self.channels
+        tokens = self.img2tokens(imgs, labels)
+        loss, _ = self.cal_loss(state.params, state.mutables, tokens,
+                                train=False)
+        rand_rng, samp_rng, mask_rng = jax.random.split(rng, 3)
+        random_tokens = jax.random.randint(rand_rng, tokens.shape, 0, 2)
+        random_tokens = random_tokens.at[:, 0].set(0)
+        rand_loss, _ = self.cal_loss(state.params, state.mutables,
+                                     random_tokens, train=False)
+        metrics = {"val_log/bpd": loss / denom / LOG2,
+                   "val_log/rand_bpd": rand_loss / denom / LOG2}
+        result = {"real_image": imgs}
+        if sample:
+            hp = self.hparams
+            if hp.class_cond:
+                fake_labels = jnp.tile(jnp.arange(hp.n_classes)[:, None],
+                                       (1, 8)).reshape(-1)
+                fake = self.sample(state, samp_rng, hp.n_classes * 8,
+                                   fake_labels)
+            else:
+                fake = self.sample(state, samp_rng, n)
+            # masked-half completion (tar.py:166-167)
+            masked = tokens.at[:, 1 + denom // 2:].set(-1)
+            mask_tokens = self.sample_tokens(state, mask_rng, masked)
+            result["fake_image"] = fake
+            result["others"] = {"mask_image": self.tokens2img(mask_tokens)}
+        return result, metrics

@@ -1,0 +1,33 @@
+"""Vector-quantization ops: nearest-codebook search.
+
+Parity target: `src/models/vqvae.py:34-37` (torch.cdist + argmin).
+
+TPU design: the distance matrix is ONE (M, D) x (D, K) matmul on the MXU
+(||z||^2 is constant w.r.t. the argmin and dropped), fused with the argmin
+reduction by XLA.  A Pallas tiled variant lives in
+``igm_tpu.ops.pallas_vq`` for large M·K (keeps the (M,K) distance tile in
+VMEM, never materialising it in HBM).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def nearest_codebook(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """z: (M, D), codebook: (K, D) -> int32 (M,) indices of nearest code.
+
+    Euclidean nearest neighbour; ties broken toward the lower index
+    (jnp.argmin semantics, same as torch.argmin).
+    """
+    # ||z - e||^2 = ||z||^2 - 2 z.e + ||e||^2 ; ||z||^2 is row-constant.
+    dots = jnp.dot(z, codebook.T, preferred_element_type=jnp.float32)
+    e_sq = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=1)
+    scores = e_sq[None, :] - 2.0 * dots
+    return jnp.argmin(scores, axis=1).astype(jnp.int32)
+
+
+def quantize(z: jnp.ndarray, codebook: jnp.ndarray):
+    """Returns (quantized vectors, indices)."""
+    idx = nearest_codebook(z, codebook)
+    return codebook[idx], idx

@@ -1,0 +1,113 @@
+"""Autoregressive causality property tests (SURVEY.md §4 plan).
+
+The reference only verifies masked-conv receptive fields visually
+(`src/utils/visual.py`); here it is an assertion: the gradient of output
+position i w.r.t. input positions >= i (in AR order) must be exactly zero.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_made_causality():
+    from igm_tpu.models.made import MADENet
+
+    d = 16
+    net = MADENet(in_dim=d, hidden_dim=32, n_class=4, n_layer=2)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, d)))
+
+    def out_i(x, i):
+        logits = net.apply(params, x[None])[0]  # (d, n_class)
+        return logits[i].sum()
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(d,)),
+                    jnp.float32)
+    for i in (0, 5, d - 1):
+        g = jax.grad(out_i)(x, i)
+        # output i may depend only on inputs with degree < i
+        assert np.allclose(np.asarray(g)[i:], 0.0), f"leak at {i}"
+
+
+def test_pixelcnn_causality():
+    from igm_tpu.models.pixelcnn import PixelCNNNet
+
+    h = w = 7
+    net = PixelCNNNet(channels=1, hidden_dim=8)
+    x0 = jnp.zeros((1, h, w, 1))
+    params = net.init(jax.random.PRNGKey(0), x0, None)
+
+    def out_at(x, hh, ww):
+        logits = net.apply(params, x, None)  # (1, H, W, C, 256)
+        return logits[0, hh, ww].sum()
+
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, h, w, 1)),
+                    jnp.float32)
+    for (hh, ww) in [(0, 0), (3, 3), (6, 6)]:
+        g = np.asarray(jax.grad(out_at)(x, hh, ww))[0, :, :, 0]
+        # raster order: no dependence on self or any later pixel
+        flat = g.reshape(-1)
+        pos = hh * w + ww
+        assert np.allclose(flat[pos:], 0.0), f"leak at {(hh, ww)}"
+
+
+def test_tar_causality():
+    from igm_tpu.models.tar import TARNet
+
+    s_img = 9  # 3x3
+    net = TARNet(n_tokens=2, d_model=16, nhead=2, num_layers=1, height=3,
+                 width=3, class_cond=False, n_classes=1)
+    tokens0 = jnp.zeros((1, s_img + 1), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), tokens0, train=False)
+
+    # changing token j must not change logits at positions < j
+    base = np.asarray(net.apply(params, tokens0, train=False))
+    for j in (3, 7, 9):
+        toks = tokens0.at[0, j].set(1)
+        out = np.asarray(net.apply(params, toks, train=False))
+        diff = np.abs(out - base)[0]  # (S, n_tokens)
+        assert np.allclose(diff[:j], 0.0, atol=1e-5), f"leak at {j}"
+        assert diff[j:].max() > 0  # sanity: it does change the future
+
+
+def test_ddpm_sampling_chain_shapes():
+    """Tiny DDPM ancestral chain runs under jit and produces finite images."""
+    from igm_tpu.config import to_node
+    from igm_tpu.models.ddpm import DDPM
+
+    dm = to_node({"width": 8, "height": 8, "channels": 1,
+                  "transforms": {"convert": True, "normalize": True}})
+    model = DDPM(datamodule=dm, hidden_dim=8, timesteps=5, dim_mults=[1, 2])
+    model.steps_per_epoch = 10
+    state = model.init_state(jax.random.PRNGKey(0))
+    imgs = jax.jit(lambda s, r: model.sample(s, r, 2))(
+        state, jax.random.PRNGKey(1))
+    assert imgs.shape == (2, 8, 8, 1)
+    assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_vq_straight_through_gradient():
+    """d(loss)/d(encoder_out) flows through the quantizer unchanged."""
+    from igm_tpu.models.vqvae import VectorQuantizer
+
+    vq = VectorQuantizer(num_embeddings=8, latent_dim=4)
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(1, 2, 2, 4)),
+                    jnp.float32)
+    params = vq.init(jax.random.PRNGKey(0), z)
+
+    def loss(z):
+        quant, _vq, _c, _idx = vq.apply(params, z)
+        st = z + jax.lax.stop_gradient(quant - z)
+        return (st ** 2).sum()
+
+    g = jax.grad(loss)(z)
+    quant, _, _, _ = vq.apply(params, z)
+    # straight-through: gradient equals d/dq of (q^2) evaluated at quant
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(quant),
+                               rtol=1e-5)

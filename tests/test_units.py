@@ -1,0 +1,178 @@
+"""Golden-value unit tests against torch (CPU) and hand-computed numpy.
+
+SURVEY.md §4 plan: losses and diffusion tables verified against the exact
+formulas the reference uses.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_adversarial_loss_vs_torch():
+    import torch
+    import torch.nn.functional as F
+    from igm_tpu.utils.losses import adversarial_loss
+
+    rng = np.random.default_rng(0)
+    pred = rng.normal(size=(16, 1)).astype(np.float32)
+    tp = torch.tensor(pred)
+    # vanilla
+    want = F.binary_cross_entropy_with_logits(tp, torch.ones_like(tp)).item()
+    got = float(adversarial_loss(jnp.asarray(pred), True, "vanilla"))
+    assert abs(want - got) < 1e-5
+    want = F.binary_cross_entropy_with_logits(tp, torch.zeros_like(tp)).item()
+    got = float(adversarial_loss(jnp.asarray(pred), False, "vanilla"))
+    assert abs(want - got) < 1e-5
+    # lsgan
+    want = F.mse_loss(tp, torch.ones_like(tp)).item()
+    got = float(adversarial_loss(jnp.asarray(pred), True, "lsgan"))
+    assert abs(want - got) < 1e-5
+    # hinge: we use the STANDARD hinge (documented divergence from the
+    # reference's buggy real branch, SURVEY.md §8)
+    want = torch.clamp(1 - tp, min=0).mean().item()
+    got = float(adversarial_loss(jnp.asarray(pred), True, "hinge"))
+    assert abs(want - got) < 1e-5
+    want = torch.clamp(1 + tp, min=0).mean().item()
+    got = float(adversarial_loss(jnp.asarray(pred), False, "hinge"))
+    assert abs(want - got) < 1e-5
+
+
+def test_normal_kld_vs_torch():
+    import torch
+    from igm_tpu.utils.losses import normal_kld
+
+    rng = np.random.default_rng(1)
+    mu = rng.normal(size=(8, 4)).astype(np.float32)
+    log_sigma = rng.normal(size=(8, 4)).astype(np.float32) * 0.1
+    tmu, tls = torch.tensor(mu), torch.tensor(log_sigma)
+    want = (-0.5 * torch.sum(1 + 2 * tls - tmu ** 2 - torch.exp(2 * tls),
+                             dim=-1).mean(dim=0)).item()
+    got = float(normal_kld(jnp.asarray(mu), jnp.asarray(log_sigma)))
+    assert abs(want - got) < 1e-4
+
+
+def test_gaussian_logprob_vs_torch():
+    import torch
+    from torch import distributions as D
+    from igm_tpu.utils.distributions import GaussianDistribution
+
+    rng = np.random.default_rng(2)
+    pred = rng.normal(size=(4, 5, 5, 1)).astype(np.float32)
+    target = rng.normal(size=(4, 5, 5, 1)).astype(np.float32)
+    tp, tt = torch.tensor(pred), torch.tensor(target)
+    want = D.Normal(tp, torch.ones_like(tp)).log_prob(tt).sum(dim=[1, 2, 3])
+    got = GaussianDistribution().prob(jnp.asarray(pred), jnp.asarray(target))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4)
+
+
+def test_bernoulli_logprob_vs_torch():
+    import torch
+    import torch.nn.functional as F
+    from igm_tpu.utils.distributions import BernoulliDistribution
+
+    rng = np.random.default_rng(3)
+    pred = rng.uniform(0.01, 0.99, size=(4, 5, 5, 1)).astype(np.float32)
+    target = (rng.uniform(size=(4, 5, 5, 1)) > 0.5).astype(np.float32)
+    want = -F.binary_cross_entropy(torch.tensor(pred), torch.tensor(target),
+                                   reduction="none").sum([1, 2, 3])
+    got = BernoulliDistribution().prob(jnp.asarray(pred), jnp.asarray(target))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4)
+
+
+def test_diffusion_tables_golden():
+    """Tables must satisfy the identities from ddpm.py:329-350."""
+    from igm_tpu.ops.diffusion import make_tables, cosine_beta_schedule
+
+    t = make_tables(100, "cosine")
+    betas = np.asarray(cosine_beta_schedule(100))
+    alphas_cumprod = np.cumprod(1 - betas)
+    np.testing.assert_allclose(np.asarray(t.alphas_cumprod), alphas_cumprod,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t.sqrt_recip_alphas_cumprod),
+                               np.sqrt(1 / alphas_cumprod), rtol=1e-5)
+    prev = np.append(1.0, alphas_cumprod[:-1])
+    post_var = betas * (1 - prev) / (1 - alphas_cumprod)
+    np.testing.assert_allclose(np.asarray(t.posterior_variance), post_var,
+                               rtol=1e-5)
+    # q_sample at t=0 is nearly the clean image
+    from igm_tpu.ops.diffusion import q_sample
+    x = jnp.ones((2, 4, 4, 1))
+    noise = jnp.zeros_like(x)
+    out = q_sample(t, x, jnp.zeros((2,), jnp.int32), noise)
+    np.testing.assert_allclose(np.asarray(out), np.sqrt(alphas_cumprod[0]),
+                               rtol=1e-5)
+
+
+def test_nearest_codebook_vs_cdist():
+    import torch
+    from igm_tpu.ops.vq import nearest_codebook
+
+    rng = np.random.default_rng(4)
+    z = rng.normal(size=(64, 16)).astype(np.float32)
+    book = rng.normal(size=(32, 16)).astype(np.float32)
+    want = torch.cdist(torch.tensor(z), torch.tensor(book)).argmin(dim=1)
+    got = nearest_codebook(jnp.asarray(z), jnp.asarray(book))
+    np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+
+def test_toy_gmm_shapes():
+    import jax
+    from igm_tpu.utils.toy import ToyGMM
+
+    gmm = ToyGMM(10)
+    samples, labels = gmm.sample(jax.random.PRNGKey(0), 256)
+    assert samples.shape == (256, 2)
+    # samples concentrate near the unit circle
+    radii = np.linalg.norm(np.asarray(samples), axis=1)
+    assert 0.5 < float(np.median(radii)) < 1.5
+    lp = gmm.log_prob(samples)
+    assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_linear_attention_matches_reference_einsum():
+    import torch
+    from igm_tpu.ops.attention import linear_attention
+
+    rng = np.random.default_rng(5)
+    b, n, h, d = 2, 9, 4, 8
+    q = rng.normal(size=(b, n, h, d)).astype(np.float32)
+    k = rng.normal(size=(b, n, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, n, h, d)).astype(np.float32)
+    # reference math (ddpm.py:156-163) in torch layout (b, h, d, n)
+    tq = torch.tensor(q).permute(0, 2, 3, 1)
+    tk = torch.tensor(k).permute(0, 2, 3, 1).softmax(dim=-1)
+    tv = torch.tensor(v).permute(0, 2, 3, 1)
+    ctx = torch.einsum("bhdn,bhen->bhde", tk, tv)
+    want = torch.einsum("bhde,bhdn->bhen", ctx, tq).permute(0, 3, 1, 2)
+    got = linear_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-4)
+
+
+def test_step_lr_schedule():
+    from igm_tpu.core.optim import step_lr, halving_lr
+
+    s = step_lr(1.0, 0.99, steps_per_epoch=10)
+    assert s(0) == 1.0
+    assert abs(s(10) - 0.99) < 1e-9
+    assert abs(s(25) - 0.99 ** 2) < 1e-9
+    h = halving_lr(1.0, drop_lr_epoch=2, steps_per_epoch=10)
+    assert h(0) == 1.0
+    assert h(19) == 1.0
+    assert h(20) == 0.5
+    assert h(45) == 0.25
+
+
+def test_make_grid_matches_torchvision_layout():
+    from igm_tpu.callbacks.visualization import make_grid
+
+    imgs = np.zeros((4, 3, 3, 1), np.float32)
+    grid = make_grid(imgs, nrow=2, padding=1, pad_value=1.0)
+    assert grid.shape == (1 + 2 * 4, 1 + 2 * 4, 3)
+    assert grid[0, 0, 0] == 1.0  # padding
+    assert grid[1, 1, 0] == 0.0  # image content
