@@ -95,7 +95,7 @@ class InceptionFeatures:
         from ..networks.inception import InceptionV3, load_weights_npz
         self.net = InceptionV3()
         self.params = load_weights_npz(weights_path)
-        self._apply = jax.jit(partial(self.net.apply, method=self.net.pool3))
+        self._apply = jax.jit(self.net.apply)
 
     def __call__(self, imgs_uint8: np.ndarray) -> np.ndarray:
         x = jnp.asarray(imgs_uint8).astype(jnp.float32) / 255.0

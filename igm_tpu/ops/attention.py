@@ -4,28 +4,61 @@ Math parity: `/root/reference/src/models/ddpm.py:146-166` — keys are
 softmaxed over spatial positions, a (d x e) context is accumulated, and
 queries read it out; O(N·d·e) instead of O(N²).
 
-TPU notes: expressed as two batched matmuls over the (pixels, head_dim)
-axes so XLA tiles them onto the MXU; the softmax+matmul chain fuses.  A
-Pallas fused kernel lives in `igm_tpu.ops.pallas_attention` and is used when
-the spatial extent is large enough to pay off.
+TPU notes: the forward dispatches to a fused Pallas kernel
+(igm_tpu.ops.pallas_attention) on TPU; the backward is a custom VJP in
+plain XLA einsums (same contraction count as the forward — linear attention
+has no attention-matrix to rematerialise).  ``IGM_PALLAS=0`` forces the
+pure-XLA path everywhere.
 """
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
 
 
+def _xla_forward(q, k, v):
+    k_sm = jax.nn.softmax(k, axis=1)
+    context = jnp.einsum("bnhd,bnhe->bhde", k_sm, v,
+                         preferred_element_type=jnp.float32)
+    out = jnp.einsum("bnhd,bhde->bnhe", q, context,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@jax.custom_vjp
 def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """q,k,v: (B, N, H, D) -> (B, N, H, D).
 
     k is softmax-normalised over N (the spatial axis), exactly like the
     reference (`ddpm.py:161`); q is used raw (no scaling — parity).
     """
-    k = jax.nn.softmax(k, axis=1)
-    # context[b,h,d,e] = sum_n k[b,n,h,d] * v[b,n,h,e]
-    context = jnp.einsum("bnhd,bnhe->bhde", k, v,
-                         preferred_element_type=jnp.float32)
-    # out[b,n,h,e] = sum_d q[b,n,h,d] * context[b,h,d,e]
-    out = jnp.einsum("bnhd,bhde->bnhe", q, context,
-                     preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    if os.environ.get("IGM_PALLAS", "1") == "1":
+        from . import pallas_attention
+        if pallas_attention.supported(q):
+            return pallas_attention.linear_attention_pallas(q, k, v)
+    return _xla_forward(q, k, v)
+
+
+def _fwd(q, k, v):
+    return linear_attention(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    q, k, v = res
+    f32 = jnp.float32
+    k_sm = jax.nn.softmax(k.astype(f32), axis=1)
+    qf, vf, gf = q.astype(f32), v.astype(f32), g.astype(f32)
+    context = jnp.einsum("bnhd,bnhe->bhde", k_sm, vf)
+    dq = jnp.einsum("bnhe,bhde->bnhd", gf, context)
+    dcontext = jnp.einsum("bnhd,bnhe->bhde", qf, gf)
+    dv = jnp.einsum("bnhd,bhde->bnhe", k_sm, dcontext)
+    dk_sm = jnp.einsum("bhde,bnhe->bnhd", dcontext, vf)
+    # softmax backward over axis 1 (per batch/head/feature column)
+    inner = jnp.sum(k_sm * dk_sm, axis=1, keepdims=True)
+    dk = k_sm * (dk_sm - inner)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+linear_attention.defvjp(_fwd, _bwd)

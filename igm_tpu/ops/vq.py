@@ -20,6 +20,15 @@ def nearest_codebook(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     Euclidean nearest neighbour; ties broken toward the lower index
     (jnp.argmin semantics, same as torch.argmin).
     """
+    import os
+    if os.environ.get("IGM_PALLAS", "1") == "1":
+        from . import pallas_vq
+        if pallas_vq.supported(z, codebook):
+            # argmin is piecewise-constant: zero gradient, so cut the AD
+            # graph here (pallas_call has no JVP rule; torch.argmin is
+            # equally non-differentiable).
+            return pallas_vq.nearest_codebook_pallas(
+                jax.lax.stop_gradient(z), jax.lax.stop_gradient(codebook))
     # ||z - e||^2 = ||z||^2 - 2 z.e + ||e||^2 ; ||z||^2 is row-constant.
     dots = jnp.dot(z, codebook.T, preferred_element_type=jnp.float32)
     e_sq = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=1)
