@@ -132,6 +132,13 @@ class Trainer:
         self.global_step = int(jax.device_get(state.step))
         pending_metrics = None  # (step, device metrics) fetched one step late
 
+        if self.profile:
+            # jax.profiler trace of the steady-state steps -> TB profile
+            # plugin (SURVEY.md §5 tracing row; the reference has only tqdm)
+            import jax.profiler
+            jax.profiler.start_trace(getattr(self.logger, "save_dir",
+                                             "tensorboard/") or "profile")
+
         t_train = time.time()
         for epoch in range(start_epoch, self.max_epochs):
             self.current_epoch = epoch
@@ -182,6 +189,10 @@ class Trainer:
             if (self.enable_checkpointing and self.ckpt_manager is not None
                     and (epoch + 1) % self.ckpt_every_n_epochs == 0):
                 self.ckpt_manager.save(int(jax.device_get(state.step)), state)
+
+        if self.profile:
+            import jax.profiler
+            jax.profiler.stop_trace()
 
         self.state = state
         if self.enable_checkpointing and self.ckpt_manager is not None:

@@ -14,7 +14,21 @@ from .utils.utils import count_params, get_logger
 log = get_logger(__name__)
 
 
+def extras(config: Any) -> None:
+    """Debug-mode conveniences (parity: src/utils/utils.py:35-76)."""
+    if config.get("ignore_warnings"):
+        import warnings
+        warnings.filterwarnings("ignore")
+    if config.get("debug"):
+        log.info("debug mode: forcing fast_dev_run")
+        config["trainer"]["fast_dev_run"] = True
+    if config.get("debug_nans"):
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
+
 def train(config: Any):
+    extras(config)
     datamodule = instantiate(config.datamodule)
     log.info("Instantiated datamodule <%s>", config.datamodule._target_)
 
