@@ -49,7 +49,7 @@ def main() -> None:
     model.steps_per_epoch = 391  # 50000 / 128, matches the real config
 
     mesh = mesh_lib.make_mesh()
-    state = model.init_state(jax.random.PRNGKey(0))
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
     state = mesh_lib.replicate(mesh, state)
     step = jax.jit(model.train_step, donate_argnums=0)
 

@@ -110,7 +110,9 @@ class Trainer:
         model.steps_per_epoch = steps_per_epoch
 
         init_rng = jax.random.PRNGKey(self.seed)
-        state = model.init_state(init_rng)
+        # jit the init: eager init dispatches hundreds of tiny ops, which is
+        # pathological over a remote-device link (axon tunnel)
+        state = jax.jit(model.init_state)(init_rng)
         state = mesh_lib.replicate(self.mesh, state)
 
         if self.enable_checkpointing:

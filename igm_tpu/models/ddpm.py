@@ -27,7 +27,7 @@ class DDPM(BaseModel):
                  dim_mults: Sequence[int] = (1, 2, 4, 8), lr: float = 2e-4,
                  b1: float = 0.5, b2: float = 0.999, optim: str = "adam",
                  beta_schedule: str = "cosine", sample_batch: int = 64,
-                 **kwargs):
+                 compute_dtype: str = "auto", **kwargs):
         super().__init__(datamodule)
         self.save_hyperparameters(hidden_dim=hidden_dim, timesteps=timesteps,
                                   loss_type=loss_type,
@@ -36,9 +36,15 @@ class DDPM(BaseModel):
                                   sample_batch=sample_batch)
         self.timesteps = int(timesteps)
         self.tables = gd.make_tables(self.timesteps, beta_schedule)
+        # bfloat16 convs on TPU (MXU fast path; params + loss stay f32);
+        # float32 elsewhere.  Override with compute_dtype: float32|bfloat16.
+        if compute_dtype == "auto":
+            compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                             else "float32")
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
         self.modules = ModuleDict(
             denoise=Unet(dim=hidden_dim, channels=self.channels,
-                         dim_mults=tuple(dim_mults)))
+                         dim_mults=tuple(dim_mults), dtype=dtype))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams

@@ -145,7 +145,9 @@ class PixelCNN(BaseModel):
         self.save_hyperparameters(hidden_dim=hidden_dim,
                                   class_condition=class_condition,
                                   n_classes=n_classes, lr=lr)
-        self.n_classes = int(n_classes) if n_classes else 0
+        # celeba config carries the literal string "None" (SURVEY.md §8);
+        # class_condition is never used there, so treat it as 0
+        self.n_classes = n_classes if isinstance(n_classes, int) else 0
         self.modules = ModuleDict(
             net=PixelCNNNet(self.channels, hidden_dim,
                             self.n_classes or None, bool(class_condition)))

@@ -101,13 +101,18 @@ def norm_type_repr(nt):
 
 
 class Conv(nn.Module):
-    """torch-Conv2d-parity conv: explicit symmetric padding, torch init."""
+    """torch-Conv2d-parity conv: explicit symmetric padding, torch init.
+
+    ``dtype`` selects the computation dtype (bfloat16 puts the conv on the
+    MXU's fast path; params stay float32).
+    """
     features: int
     kernel_size: int
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
     feature_group_count: int = 1
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +125,7 @@ class Conv(nn.Module):
             kernel_init=torch_kernel_init,
             bias_init=make_bias_init(fan_in),
             feature_group_count=self.feature_group_count,
+            dtype=self.dtype,
         )(x)
 
 
@@ -133,6 +139,7 @@ class ConvTranspose(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -145,6 +152,7 @@ class ConvTranspose(nn.Module):
             use_bias=self.use_bias,
             kernel_init=torch_kernel_init,
             bias_init=make_bias_init(fan_in),
+            dtype=self.dtype,
         )(x)
 
 
@@ -152,6 +160,7 @@ class Dense(nn.Module):
     """torch-Linear-parity dense layer."""
     features: int
     use_bias: bool = True
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -160,6 +169,7 @@ class Dense(nn.Module):
             self.features, use_bias=self.use_bias,
             kernel_init=torch_kernel_init,
             bias_init=make_bias_init(fan_in),
+            dtype=self.dtype,
         )(x)
 
 

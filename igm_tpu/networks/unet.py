@@ -8,7 +8,7 @@ first skip connection is unused (reference quirk: ups iterate in_out[1:],
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -51,37 +51,46 @@ class LinearAttention(nn.Module):
     dim: int
     heads: int = 4
     dim_head: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, _ = x.shape
         hidden = self.heads * self.dim_head
-        qkv = Conv(hidden * 3, 1, use_bias=False)(x)
+        qkv = Conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
         qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = linear_attention(q, k, v)
         out = out.reshape(b, h, w, hidden)
-        return Conv(self.dim, 1)(out)
+        return Conv(self.dim, 1, dtype=self.dtype)(out)
 
 
 class AttnBlock(nn.Module):
     """Residual(PreNorm(LinearAttention)) (ddpm.py:202-233)."""
     dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return x + LinearAttention(self.dim)(ChannelLayerNorm(self.dim)(x))
+        return x + LinearAttention(self.dim, dtype=self.dtype)(
+            ChannelLayerNorm(self.dim)(x))
 
 
 class Block(nn.Module):
-    """conv3x3 -> GroupNorm(8) -> Mish (ddpm.py:109-118)."""
+    """conv3x3 -> GroupNorm(8) -> Mish (ddpm.py:109-118).
+
+    The conv runs in ``dtype`` (bfloat16 on TPU); the GroupNorm statistics
+    and the Mish gate stay float32 for stability.
+    """
     dim_out: int
     groups: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = Conv(self.dim_out, 3, 1, 1)(x)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
+        x = Conv(self.dim_out, 3, 1, 1, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
         return mish(x)
 
 
@@ -90,15 +99,16 @@ class ResnetBlock(nn.Module):
     dim: int
     dim_out: int
     use_time_emb: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: Optional[jnp.ndarray]) -> jnp.ndarray:
-        h = Block(self.dim_out)(x)
+        h = Block(self.dim_out, dtype=self.dtype)(x)
         if self.use_time_emb and t is not None:
             h = h + Dense(self.dim_out)(mish(t))[:, None, None, :]
-        h = Block(self.dim_out)(h)
+        h = Block(self.dim_out, dtype=self.dtype)(h)
         if self.dim != self.dim_out:
-            x = Conv(self.dim_out, 1)(x)
+            x = Conv(self.dim_out, 1, dtype=self.dtype)(x)
         return h + x
 
 
@@ -110,6 +120,7 @@ class Unet(nn.Module):
     groups: int = 8
     channels: int = 3
     with_time_emb: bool = True
+    dtype: Any = None  # compute dtype for convs (bfloat16 on TPU)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: jnp.ndarray) -> jnp.ndarray:
@@ -128,25 +139,25 @@ class Unet(nn.Module):
         skips = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
-            x = ResnetBlock(x.shape[-1], dim_out)(x, t)
-            x = ResnetBlock(dim_out, dim_out)(x, t)
-            x = AttnBlock(dim_out)(x)
+            x = ResnetBlock(x.shape[-1], dim_out, dtype=self.dtype)(x, t)
+            x = ResnetBlock(dim_out, dim_out, dtype=self.dtype)(x, t)
+            x = AttnBlock(dim_out, dtype=self.dtype)(x)
             skips.append(x)
             if not is_last:
-                x = Conv(dim_out, 3, 2, 1)(x)  # Downsample (ddpm.py:75-81)
+                x = Conv(dim_out, 3, 2, 1, dtype=self.dtype)(x)  # Downsample
 
         mid = dims[-1]
-        x = ResnetBlock(mid, mid)(x, t)
-        x = AttnBlock(mid)(x)
-        x = ResnetBlock(mid, mid)(x, t)
+        x = ResnetBlock(mid, mid, dtype=self.dtype)(x, t)
+        x = AttnBlock(mid, dtype=self.dtype)(x)
+        x = ResnetBlock(mid, mid, dtype=self.dtype)(x, t)
 
         for dim_in, dim_out in reversed(in_out[1:]):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out * 2, dim_in)(x, t)
-            x = ResnetBlock(dim_in, dim_in)(x, t)
-            x = AttnBlock(dim_in)(x)
-            x = ConvTranspose(dim_in, 4, 2, 1)(x)  # Upsample (ddpm.py:66-72)
+            x = ResnetBlock(dim_out * 2, dim_in, dtype=self.dtype)(x, t)
+            x = ResnetBlock(dim_in, dim_in, dtype=self.dtype)(x, t)
+            x = AttnBlock(dim_in, dtype=self.dtype)(x)
+            x = ConvTranspose(dim_in, 4, 2, 1, dtype=self.dtype)(x)  # Upsample
 
         out_dim = self.out_dim if self.out_dim is not None else self.channels
-        x = Block(dims[1])(x)
-        return Conv(out_dim, 1)(x)
+        x = Block(dims[1], dtype=self.dtype)(x)
+        return Conv(out_dim, 1)(x).astype(jnp.float32)
