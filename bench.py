@@ -25,10 +25,12 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
 
+import os
+
 BASELINE_IMGS_PER_SEC = 180.0
-BATCH = 256
+BATCH = int(os.environ.get("IGM_BENCH_BATCH", "256"))
 WARMUP = 3
-ITERS = 20
+ITERS = int(os.environ.get("IGM_BENCH_ITERS", "20"))
 
 
 def main() -> None:

@@ -109,6 +109,18 @@ class Trainer:
             steps_per_epoch = min(steps_per_epoch, int(self.limit_train_batches))
         model.steps_per_epoch = steps_per_epoch
 
+        # hyperparameter logging (parity: src/utils/utils.py:126-166)
+        try:
+            hp = {}
+            if hasattr(model, "hparams"):
+                hp.update({f"model/{k}": v for k, v in model.hparams.items()
+                           if isinstance(v, (int, float, bool, str))})
+            hp["datamodule/batch_size"] = batch_size
+            hp["trainer/max_epochs"] = self.max_epochs
+            self.logger.log_hyperparams(hp)
+        except Exception:
+            pass
+
         init_rng = jax.random.PRNGKey(self.seed)
         # jit the init: eager init dispatches hundreds of tiny ops, which is
         # pathological over a remote-device link (axon tunnel)
@@ -137,9 +149,9 @@ class Trainer:
         if self.profile:
             # jax.profiler trace of the steady-state steps -> TB profile
             # plugin (SURVEY.md §5 tracing row; the reference has only tqdm)
-            import jax.profiler
-            jax.profiler.start_trace(getattr(self.logger, "save_dir",
-                                             "tensorboard/") or "profile")
+            from jax import profiler as _jprof
+            _jprof.start_trace(getattr(self.logger, "save_dir",
+                                       "tensorboard/") or "profile")
 
         t_train = time.time()
         for epoch in range(start_epoch, self.max_epochs):
@@ -193,8 +205,8 @@ class Trainer:
                 self.ckpt_manager.save(int(jax.device_get(state.step)), state)
 
         if self.profile:
-            import jax.profiler
-            jax.profiler.stop_trace()
+            from jax import profiler as _jprof
+            _jprof.stop_trace()
 
         self.state = state
         if self.enable_checkpointing and self.ckpt_manager is not None:
