@@ -37,6 +37,14 @@ def main() -> None:
     import jax
     import numpy as np
 
+    # persistent compile cache: repeat bench invocations skip the ~minutes
+    # XLA compile of the UNet train step
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from igm_tpu.config import to_node
     from igm_tpu.models.ddpm import DDPM
     from igm_tpu.parallel import mesh as mesh_lib
@@ -47,7 +55,8 @@ def main() -> None:
     })
     model = DDPM(datamodule=dm_cfg, hidden_dim=64, timesteps=1000,
                  dim_mults=[1, 2, 4], loss_type="l1", lr=1e-4, b1=0.9,
-                 b2=0.999)
+                 b2=0.999,
+                 compute_dtype=os.environ.get("IGM_BENCH_DTYPE", "auto"))
     model.steps_per_epoch = 391  # 50000 / 128, matches the real config
 
     mesh = mesh_lib.make_mesh()
