@@ -16,6 +16,13 @@ log = get_logger(__name__)
 
 def extras(config: Any) -> None:
     """Debug-mode conveniences (parity: src/utils/utils.py:35-76)."""
+    import os
+    platform = os.environ.get("IGM_PLATFORM")
+    if platform:
+        # The machine profile may pin JAX_PLATFORMS (remote TPU tunnel);
+        # IGM_PLATFORM=cpu forces the in-process backend for CI/offline runs.
+        import jax
+        jax.config.update("jax_platforms", platform)
     if config.get("ignore_warnings"):
         import warnings
         warnings.filterwarnings("ignore")
