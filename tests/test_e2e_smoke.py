@@ -80,6 +80,19 @@ def test_smoke(config_dir, tmp_path, experiment):
     _run(config_dir, tmp_path, experiment, extra)
 
 
+def test_speed_gan_via_group_overrides(config_dir, tmp_path):
+    """speed_gan has no experiment yaml in the reference either; users select
+    it by group overrides — exercises experiment-less composition."""
+    cfg = compose(config_dir, ["model=speed_gan", "networks=conv_mnist",
+                               "datamodule=mnist", *FAST])
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        train(cfg)
+    finally:
+        os.chdir(cwd)
+
+
 def test_checkpoint_resume(config_dir, tmp_path):
     cfg = compose(config_dir, [
         "experiment=vae/mnist_mlp", "trainer.max_epochs=1",
