@@ -33,18 +33,25 @@ LOG2 = float(np.log(2.0))
 
 
 class TransformerEncoderLayer(nn.Module):
-    """torch nn.TransformerEncoderLayer parity: post-norm, ReLU, dropout."""
+    """torch nn.TransformerEncoderLayer parity: post-norm, ReLU, dropout.
+
+    ``decode=True`` switches the attention to flax's autoregressive KV-cache
+    mode: the layer consumes ONE token and attends over cached keys/values —
+    O(S) per step instead of the reference's O(S^2) full re-forward
+    (`tar.py:137-143`).
+    """
     d_model: int
     nhead: int
     dim_feedforward: int = 1024
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, mask, train: bool = True):
+    def __call__(self, x, mask, train: bool = True, decode: bool = False):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead, qkv_features=self.d_model,
-            dropout_rate=self.dropout, deterministic=not train)
-        a = attn(x, x, mask=mask)
+            dropout_rate=self.dropout, deterministic=not train,
+            decode=decode)
+        a = attn(x, x, mask=None if decode else mask)
         a = nn.Dropout(self.dropout, deterministic=not train)(a)
         x = nn.LayerNorm(epsilon=1e-5)(x + a)
         f = Dense(self.dim_feedforward)(x)
@@ -66,8 +73,13 @@ class TARNet(nn.Module):
     n_classes: int
 
     @nn.compact
-    def __call__(self, tokens, train: bool = True):
-        """tokens: (N, S) int32 with S <= 1 + H*W*C -> logits (N, S, n_tokens)."""
+    def __call__(self, tokens, train: bool = True, decode: bool = False,
+                 pos_idx=None):
+        """tokens: (N, S) int32 with S <= 1 + H*W*C -> logits (N, S, n_tokens).
+
+        ``decode=True``: tokens is (N, 1) — the token at sequence position
+        ``pos_idx`` — and flax 'cache' collections carry the KV state.
+        """
         n, s = tokens.shape
         pixel_embed = nn.Embed(self.n_tokens, self.d_model,
                                embedding_init=nn.initializers.normal(1.0))
@@ -81,24 +93,33 @@ class TARNet(nn.Module):
         first_pe = self.param("first_pe", nn.initializers.normal(1.0),
                               (1, self.d_model))
 
-        emb0 = cond_embed(tokens[:, :1])                 # (N, 1, d)
-        emb_rest = pixel_embed(tokens[:, 1:])            # (N, S-1, d)
-        emb = jnp.concatenate([emb0, emb_rest], axis=1)
-
         # factored positional encodings (tar.py:14-31): position i>0 maps to
         # pixel (i-1) in (h, w) raster order
-        hw = self.height * self.width
         h_full = jnp.repeat(h_pe, self.width, axis=0)    # (H*W, d)
         w_full = jnp.tile(w_pe, (self.height, 1))        # (H*W, d)
         pos = jnp.concatenate([first_pe, h_full], axis=0) \
             + jnp.concatenate([first_pe, w_full], axis=0)  # (1+H*W, d)
-        emb = emb + pos[:s][None, :, :]
 
-        causal = jnp.tril(jnp.ones((s, s), bool))
+        if decode:
+            # single token at position pos_idx; <sos> embedding iff idx 0
+            n_cond = self.n_classes if self.class_cond else 1
+            tok = jnp.clip(tokens, 0, None)
+            emb_cond = cond_embed(jnp.clip(tok, 0, n_cond - 1))
+            emb_pix = pixel_embed(jnp.clip(tok, 0, self.n_tokens - 1))
+            emb = jnp.where(pos_idx == 0, emb_cond, emb_pix)
+            emb = emb + jax.lax.dynamic_slice_in_dim(pos, pos_idx, 1)[None]
+            causal = None
+        else:
+            emb0 = cond_embed(tokens[:, :1])             # (N, 1, d)
+            emb_rest = pixel_embed(tokens[:, 1:])        # (N, S-1, d)
+            emb = jnp.concatenate([emb0, emb_rest], axis=1)
+            emb = emb + pos[:s][None, :, :]
+            causal = jnp.tril(jnp.ones((s, s), bool))
+
         x = emb
         for _ in range(self.num_layers):
-            x = TransformerEncoderLayer(self.d_model, self.nhead,
-                                        1024)(x, causal, train=train)
+            x = TransformerEncoderLayer(self.d_model, self.nhead, 1024)(
+                x, causal, train=train, decode=decode)
         return Dense(self.n_tokens)(x)
 
 
@@ -172,24 +193,39 @@ class TAR(BaseModel):
     # --------------------------------------------------------------- sampling
     def sample_tokens(self, state: TrainState, rng: jax.Array,
                       init_tokens: jnp.ndarray) -> jnp.ndarray:
-        """Fill every -1 position autoregressively (tar.py:137-143)."""
+        """Fill every -1 position autoregressively (tar.py:137-143).
+
+        KV-cached incremental decoding: each scan step embeds ONE token and
+        attends over the cached keys/values — O(S) work per step vs the
+        reference's full re-forward O(S^2) (`tar.py:140`).  Cache variables
+        come from a decode-mode init over the full sequence length.
+        """
         n, s = init_tokens.shape
+        net = self.modules["net"]
+        cache = net.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((n, s), jnp.int32), train=False, decode=True,
+            pos_idx=0)["cache"]
         keys = jax.random.split(rng, s - 1)
 
-        def step(tokens, xs):
-            i, key = xs  # predicting position i+1 from prefix [0..i]
-            safe = jnp.maximum(tokens, 0)
-            logits, _ = self.modules.apply("net", state.params,
-                                           state.mutables, safe, train=False)
-            pred = logits[:, i, :]  # (N, n_tokens)
+        def step(carry, xs):
+            cache, tokens = carry
+            i, key = xs  # feed token i, predict position i+1
+            tok_i = jax.lax.dynamic_slice_in_dim(tokens, i, 1, axis=1)
+            logits, upd = net.apply(
+                {"params": state.params["net"], "cache": cache},
+                jnp.maximum(tok_i, 0), train=False, decode=True, pos_idx=i,
+                mutable=["cache"])
+            cache = upd["cache"]
+            pred = logits[:, 0, :]  # (N, n_tokens)
             draw = jax.random.categorical(key, pred, axis=-1).astype(jnp.int32)
             cur = tokens[:, i + 1]
             new = jnp.where(cur != -1, cur, draw)
             tokens = tokens.at[:, i + 1].set(new)
-            return tokens, None
+            return (cache, tokens), None
 
-        tokens, _ = jax.lax.scan(step, init_tokens,
-                                 (jnp.arange(s - 1), keys))
+        (_, tokens), _ = jax.lax.scan(step, (cache, init_tokens),
+                                      (jnp.arange(s - 1), keys))
         return tokens
 
     def sample(self, state: TrainState, rng: jax.Array, n: int,
