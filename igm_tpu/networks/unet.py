@@ -33,7 +33,11 @@ class SinusoidalPosEmb(nn.Module):
 
 
 class ChannelLayerNorm(nn.Module):
-    """LayerNorm over channels with (std + eps) denominator (ddpm.py:85-95)."""
+    """LayerNorm over channels with (std + eps) denominator (ddpm.py:85-95).
+
+    Statistics in f32; output cast back to the input dtype so bf16 activation
+    traffic stays bf16.
+    """
     dim: int
     eps: float = 1e-5
 
@@ -41,9 +45,10 @@ class ChannelLayerNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         g = self.param("g", nn.initializers.ones, (self.dim,))
         b = self.param("b", nn.initializers.zeros, (self.dim,))
-        mean = x.mean(axis=-1, keepdims=True)
-        std = jnp.sqrt(x.var(axis=-1, keepdims=True))
-        return (x - mean) / (std + self.eps) * g + b
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        std = jnp.sqrt(xf.var(axis=-1, keepdims=True))
+        return (((xf - mean) / (std + self.eps)) * g + b).astype(x.dtype)
 
 
 class LinearAttention(nn.Module):
@@ -89,8 +94,11 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = Conv(self.dim_out, 3, 1, 1, dtype=self.dtype)(x)
+        # flax GroupNorm computes mean/var in f32 regardless of dtype; keeping
+        # activations in compute dtype halves the norm+mish HBM traffic
+        # (measured: norm+mish is ~15% of the DDPM step at f32)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=jnp.float32)(x.astype(jnp.float32))
+                         dtype=self.dtype)(x)
         return mish(x)
 
 
@@ -105,7 +113,8 @@ class ResnetBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, t: Optional[jnp.ndarray]) -> jnp.ndarray:
         h = Block(self.dim_out, dtype=self.dtype)(x)
         if self.use_time_emb and t is not None:
-            h = h + Dense(self.dim_out)(mish(t))[:, None, None, :]
+            # time-FiLM add in compute dtype (avoid f32 promotion of h)
+            h = h + Dense(self.dim_out, dtype=self.dtype)(mish(t))[:, None, None, :]
         h = Block(self.dim_out, dtype=self.dtype)(h)
         if self.dim != self.dim_out:
             x = Conv(self.dim_out, 1, dtype=self.dtype)(x)
