@@ -260,6 +260,18 @@ class Trainer:
             if hasattr(cb, "on_validation_epoch_end"):
                 cb.on_validation_epoch_end(self, model)
 
+    def test(self, model=None, datamodule=None) -> Dict[str, float]:
+        """Evaluate on the val/test split (``trainer.test()`` parity,
+        `src/train.py:66-68`; the reference datamodules use the test set as
+        the val split, SURVEY §8)."""
+        model = model or self.model
+        datamodule = datamodule or self.datamodule
+        assert self.state is not None, "call fit() first"
+        val_step = jax.jit(model.validation_step, static_argnames=("sample",))
+        self._run_validation(val_step, datamodule.val_arrays(),
+                             int(datamodule.batch_size), self.current_epoch)
+        return dict(self.callback_metrics)
+
     def log(self, tag: str, value: float) -> None:
         """Callback-facing scalar logging (FID uses this)."""
         self.callback_metrics[tag] = float(value)

@@ -58,6 +58,10 @@ def train(config: Any):
     if trainer.state is not None:
         log.info("trained params: %s", count_params(trainer.state.params))
 
+    if config.get("test_after_training") and not trainer.fast_dev_run:
+        log.info("Starting testing!")
+        trainer.test()
+
     metric = config.get("optimized_metric")
     if metric:
         return trainer.callback_metrics.get(metric)

@@ -33,6 +33,7 @@ SMOKE_EXPERIMENTS = [
     "cvae/mnist",
     "vanilla_gan/mnist_mlp",
     "vanilla_gan/mnist_conv",
+    "lsgan/cifar10",      # conv_32 nets + synthetic CIFAR + FID callback
     "lsgan/conv_mnist",
     "ggan/mnist_conv",
     "wgan/mnist_conv",
