@@ -27,7 +27,7 @@ class DDPM(BaseModel):
                  dim_mults: Sequence[int] = (1, 2, 4, 8), lr: float = 2e-4,
                  b1: float = 0.5, b2: float = 0.999, optim: str = "adam",
                  beta_schedule: str = "cosine", sample_batch: int = 64,
-                 compute_dtype: str = "auto", **kwargs):
+                 compute_dtype: str = "auto", remat: bool = False, **kwargs):
         super().__init__(datamodule)
         self.save_hyperparameters(hidden_dim=hidden_dim, timesteps=timesteps,
                                   loss_type=loss_type,
@@ -44,7 +44,8 @@ class DDPM(BaseModel):
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
         self.modules = ModuleDict(
             denoise=Unet(dim=hidden_dim, channels=self.channels,
-                         dim_mults=tuple(dim_mults), dtype=dtype))
+                         dim_mults=tuple(dim_mults), dtype=dtype,
+                         remat=bool(remat)))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams

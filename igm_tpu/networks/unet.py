@@ -130,12 +130,14 @@ class Unet(nn.Module):
     channels: int = 3
     with_time_emb: bool = True
     dtype: Any = None  # compute dtype for convs (bfloat16 on TPU)
+    remat: bool = False  # jax.checkpoint each resnet block (memory <-> FLOPs)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: jnp.ndarray) -> jnp.ndarray:
         dims = [self.channels] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         num_res = len(in_out)
+        RB = nn.remat(ResnetBlock) if self.remat else ResnetBlock
 
         if self.with_time_emb:
             t = SinusoidalPosEmb(self.dim)(time)
@@ -148,22 +150,22 @@ class Unet(nn.Module):
         skips = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
-            x = ResnetBlock(x.shape[-1], dim_out, dtype=self.dtype)(x, t)
-            x = ResnetBlock(dim_out, dim_out, dtype=self.dtype)(x, t)
+            x = RB(x.shape[-1], dim_out, dtype=self.dtype)(x, t)
+            x = RB(dim_out, dim_out, dtype=self.dtype)(x, t)
             x = AttnBlock(dim_out, dtype=self.dtype)(x)
             skips.append(x)
             if not is_last:
                 x = Conv(dim_out, 3, 2, 1, dtype=self.dtype)(x)  # Downsample
 
         mid = dims[-1]
-        x = ResnetBlock(mid, mid, dtype=self.dtype)(x, t)
+        x = RB(mid, mid, dtype=self.dtype)(x, t)
         x = AttnBlock(mid, dtype=self.dtype)(x)
-        x = ResnetBlock(mid, mid, dtype=self.dtype)(x, t)
+        x = RB(mid, mid, dtype=self.dtype)(x, t)
 
         for dim_in, dim_out in reversed(in_out[1:]):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out * 2, dim_in, dtype=self.dtype)(x, t)
-            x = ResnetBlock(dim_in, dim_in, dtype=self.dtype)(x, t)
+            x = RB(dim_out * 2, dim_in, dtype=self.dtype)(x, t)
+            x = RB(dim_in, dim_in, dtype=self.dtype)(x, t)
             x = AttnBlock(dim_in, dtype=self.dtype)(x)
             x = ConvTranspose(dim_in, 4, 2, 1, dtype=self.dtype)(x)  # Upsample
 
