@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -81,11 +82,43 @@ class AttnBlock(nn.Module):
             ChannelLayerNorm(self.dim)(x))
 
 
+class GroupNormMish(nn.Module):
+    """GroupNorm(eps=1e-5) + Mish with a flag-switchable fused Pallas path.
+
+    Param names match flax nn.GroupNorm ("scale"/"bias") so the tree is
+    identical whichever path executes; IGM_PALLAS_GN=1 enables the fused
+    kernel (igm_tpu.ops.pallas_groupnorm) on TPU.
+    """
+    groups: int = 8
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if (os.environ.get("IGM_PALLAS_GN", "0") == "1"
+                and jax.default_backend() == "tpu"):
+            from ..ops.pallas_groupnorm import group_norm_mish
+            return group_norm_mish(x, scale, bias, self.groups)
+        xf = x.astype(jnp.float32)
+        n, h, w, _ = xf.shape
+        grouped = xf.reshape(n, h * w, self.groups, c // self.groups)
+        mean = grouped.mean(axis=(1, 3), keepdims=True)
+        var = grouped.var(axis=(1, 3), keepdims=True)
+        xhat = ((grouped - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(x.shape)
+        y = xhat * scale + bias
+        return mish(y).astype(x.dtype)
+
+
 class Block(nn.Module):
     """conv3x3 -> GroupNorm(8) -> Mish (ddpm.py:109-118).
 
-    The conv runs in ``dtype`` (bfloat16 on TPU); the GroupNorm statistics
-    and the Mish gate stay float32 for stability.
+    The conv runs in ``dtype`` (bfloat16 on TPU); GroupNorm statistics stay
+    f32; activation traffic stays in compute dtype (measured: norm+mish was
+    ~15% of the f32 step).
     """
     dim_out: int
     groups: int = 8
@@ -94,12 +127,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = Conv(self.dim_out, 3, 1, 1, dtype=self.dtype)(x)
-        # flax GroupNorm computes mean/var in f32 regardless of dtype; keeping
-        # activations in compute dtype halves the norm+mish HBM traffic
-        # (measured: norm+mish is ~15% of the DDPM step at f32)
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         dtype=self.dtype)(x)
-        return mish(x)
+        return GroupNormMish(self.groups, dtype=self.dtype)(x)
 
 
 class ResnetBlock(nn.Module):
