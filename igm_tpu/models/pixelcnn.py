@@ -118,9 +118,14 @@ class PixelCNNNet(nn.Module):
     DILATIONS = (1, 2, 1, 4, 1, 2, 1, 4, 1, 2, 1)
 
     @nn.compact
-    def __call__(self, x, y=None, train: bool = True):
+    def __call__(self, x, y=None, train: bool = True, pixel=None):
         """x: (N,H,W,C) float; y: (N, n_classes) one-hot or None.
-        Returns logits (N, H, W, C, 256)."""
+
+        Returns logits (N, H, W, C, 256); with ``pixel=(hh, ww)`` (traced
+        ints) only that position's logits (N, C, 256) — the sampling loop
+        needs one pixel per step, and the 1x1 output conv (hidden ->
+        256*C over every pixel) is a large share of the forward.
+        """
         n = x.shape[0]
         cond = None
         if self.class_condition and y is not None:
@@ -131,7 +136,15 @@ class PixelCNNNet(nn.Module):
             v, h = GatedMaskedConv(self.hidden_dim, 3, d,
                                    self.n_classes if cond is not None
                                    else None)(v, h, cond)
-        out = Conv(self.channels * 256, 1)(jax.nn.elu(h))
+        conv_out = Conv(self.channels * 256, 1)
+        if pixel is not None:
+            hh, ww = pixel
+            h = jax.lax.dynamic_slice(h, (0, hh, ww, 0),
+                                      (n, 1, 1, h.shape[-1]))
+            out = conv_out(jax.nn.elu(h))  # (N, 1, 1, C*256)
+            out = out.reshape(n, 256, self.channels)
+            return jnp.transpose(out, (0, 2, 1))  # (N, C, 256)
+        out = conv_out(jax.nn.elu(h))
         # class-major factorisation parity (pixelcnn.py:151-154)
         out = out.reshape(n, x.shape[1], x.shape[2], 256, self.channels)
         return jnp.transpose(out, (0, 1, 2, 4, 3))  # (N,H,W,C,256)
@@ -199,12 +212,9 @@ class PixelCNN(BaseModel):
         def step(img, xs):
             p, key = xs
             hh, ww = p // w_dim, p % w_dim
-            logits, _ = self.modules.apply("net", state.params,
-                                           state.mutables, img, cond,
-                                           train=False)
-            pix = jax.lax.dynamic_slice(
-                logits, (0, hh, ww, 0, 0), (n, 1, 1, c_dim, 256)
-            ).reshape(n, c_dim, 256)
+            pix, _ = self.modules.apply("net", state.params,
+                                        state.mutables, img, cond,
+                                        train=False, pixel=(hh, ww))
             draw = jax.random.categorical(key, pix, axis=-1)  # (N, C)
             value = draw.astype(jnp.float32) / 255.0
             if self.input_normalize:

@@ -111,3 +111,20 @@ def test_vq_straight_through_gradient():
     # straight-through: gradient equals d/dq of (q^2) evaluated at quant
     np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(quant),
                                rtol=1e-5)
+
+
+def test_pixelcnn_pixel_sliced_logits_match_full():
+    """pixel=(h,w) fast path must equal the full forward at that position."""
+    from igm_tpu.models.pixelcnn import PixelCNNNet
+
+    h = w = 7
+    net = PixelCNNNet(channels=1, hidden_dim=8)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, h, w, 1)),
+                    jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x, None)
+    full = net.apply(params, x, None)  # (N, H, W, C, 256)
+    for (hh, ww) in [(0, 0), (3, 4), (6, 6)]:
+        fast = net.apply(params, x, None,
+                         pixel=(jnp.int32(hh), jnp.int32(ww)))
+        np.testing.assert_allclose(np.asarray(fast),
+                                   np.asarray(full[:, hh, ww]), atol=1e-5)
