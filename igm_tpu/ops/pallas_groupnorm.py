@@ -87,8 +87,8 @@ def _bwd_kernel(groups, x_ref, gamma_ref, beta_ref, g_ref,
     xhat = (x2d - mean) * inv
     y = xhat * gamma + beta_ref[:]
     dy = g * _mish_grad(y)
-    dgamma_ref[:, :] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    dbeta_ref[:, :] = jnp.sum(dy, axis=0, keepdims=True)
+    dgamma_ref[0] = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbeta_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
     dxhat = dy * gamma
     m1 = _group_mean2d(dxhat, groups)
     m2 = _group_mean2d(dxhat * xhat, groups)
@@ -133,8 +133,8 @@ def _gnm_bwd(groups, res, g):
         functools.partial(_bwd_kernel, groups),
         out_shape=(
             jax.ShapeDtypeStruct((n, h * w, c), x.dtype),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
             grid=(n,),
@@ -151,16 +151,17 @@ def _gnm_bwd(groups, res, g):
             out_specs=(
                 pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda i: (i, 0),
+                pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, c), lambda i: (i, 0),
+                pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
         ),
     )(x2d, gamma[None].astype(jnp.float32), beta[None].astype(jnp.float32),
       g2d)
-    return (dx.reshape(x.shape), dgamma_p.sum(axis=0).astype(gamma.dtype),
-            dbeta_p.sum(axis=0).astype(beta.dtype))
+    return (dx.reshape(x.shape),
+            dgamma_p[:, 0].sum(axis=0).astype(gamma.dtype),
+            dbeta_p[:, 0].sum(axis=0).astype(beta.dtype))
 
 
 group_norm_mish.defvjp(_gnm_fwd, _gnm_bwd)
