@@ -128,3 +128,37 @@ def test_pixelcnn_pixel_sliced_logits_match_full():
                          pixel=(jnp.int32(hh), jnp.int32(ww)))
         np.testing.assert_allclose(np.asarray(fast),
                                    np.asarray(full[:, hh, ww]), atol=1e-5)
+
+
+def test_pixelcnn_incremental_logits_match_full():
+    """The fast sampler's incremental machinery (row-causal vertical
+    precompute + column-scan horizontal steps) must reproduce the full
+    forward's logits exactly on a fixed image."""
+    from igm_tpu.models.pixelcnn import PixelCNNNet
+
+    h = w = 7
+    net = PixelCNNNet(channels=1, hidden_dim=8)
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, h, w, 1)),
+                    jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x, None)
+    full = net.apply(params, x, None)                      # (N,H,W,C,256)
+    inc = net.apply(params, x, None, method=PixelCNNNet.row_logits)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full), atol=1e-4)
+
+
+def test_pixelcnn_fast_sampler_runs():
+    from igm_tpu.config import to_node
+    from igm_tpu.models.pixelcnn import PixelCNN
+
+    dm = to_node({"width": 7, "height": 7, "channels": 1, "n_classes": 10,
+                  "transforms": {"convert": True, "normalize": True}})
+    model = PixelCNN(datamodule=dm, hidden_dim=8)
+    model.steps_per_epoch = 10
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    imgs = jax.jit(lambda s, r: model.sample_images(s, r, 2))(
+        state, jax.random.PRNGKey(1))
+    assert imgs.shape == (2, 7, 7, 1)
+    arr = np.asarray(imgs)
+    assert np.isfinite(arr).all()
+    assert (arr >= -1.0 - 1e-5).all() and (arr <= 1.0 + 1e-5).all()
+    assert (arr != -1.0).any()  # actually sampled something
