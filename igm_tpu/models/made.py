@@ -52,12 +52,22 @@ def build_masks(in_dim: int, hidden_dim: int, n_layer: int, n_class: int,
 class MaskedLinear(nn.Module):
     mask: Any  # (out, in) numpy array, static
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         out_f, in_f = self.mask.shape
-        w = self.param("kernel", torch_kernel_init, (in_f, out_f))
-        b = self.param("bias", make_bias_init(in_f), (out_f,))
-        return x @ (w * jnp.asarray(self.mask).T) + b
+        self.kernel = self.param("kernel", torch_kernel_init, (in_f, out_f))
+        self.bias = self.param("bias", make_bias_init(in_f), (out_f,))
+
+    def __call__(self, x):
+        return x @ (self.kernel * jnp.asarray(self.mask).T) + self.bias
+
+    def sliced(self, x, start, size: int):
+        """Output features [start, start+size) only — the sampling loop
+        needs one pixel's logits, not the full (in_dim*n_class) output."""
+        w = jax.lax.dynamic_slice_in_dim(self.kernel, start, size, axis=1)
+        m = jax.lax.dynamic_slice_in_dim(jnp.asarray(self.mask.T), start,
+                                         size, axis=1)
+        b = jax.lax.dynamic_slice_in_dim(self.bias, start, size, axis=0)
+        return x @ (w * m) + b
 
 
 class MADENet(nn.Module):
@@ -79,6 +89,16 @@ class MADENet(nn.Module):
             x = jax.nn.sigmoid(layer(x))
         x = self.layers[-1](x)
         return x.reshape(x.shape[0], self.in_dim, self.n_class)
+
+    def pixel_logits(self, x_flat, i):
+        """Logits for pixel ``i`` only: hidden layers run in full, the huge
+        output layer (hidden -> D*n_class, ~99% of the FLOPs at the
+        reference's hidden_dim=1024) is sliced to this pixel's n_class
+        columns (output features are pixel-major: ``np.repeat`` layout)."""
+        x = x_flat
+        for layer in self.layers[:-1]:
+            x = jax.nn.sigmoid(layer(x))
+        return self.layers[-1].sliced(x, i * self.n_class, self.n_class)
 
 
 class MADE(BaseModel):
@@ -141,9 +161,9 @@ class MADE(BaseModel):
         def step(carry, xs):
             img = carry
             i, key = xs
-            logits, _ = self.modules.apply("net", state.params,
-                                           state.mutables, img, train=False)
-            pix_logits = logits[:, i, :]  # (N, 256)
+            pix_logits = self.modules["net"].apply(
+                {"params": state.params["net"]}, img, i,
+                method=MADENet.pixel_logits)  # (N, 256)
             draw = jax.random.categorical(key, pix_logits, axis=-1)
             value = draw.astype(jnp.float32) / 255.0
             if self.input_normalize:

@@ -162,3 +162,33 @@ def test_pixelcnn_fast_sampler_runs():
     assert np.isfinite(arr).all()
     assert (arr >= -1.0 - 1e-5).all() and (arr <= 1.0 + 1e-5).all()
     assert (arr != -1.0).any()  # actually sampled something
+
+
+def test_pixelcnn_incremental_logits_match_full_class_cond():
+    from igm_tpu.models.pixelcnn import PixelCNNNet
+
+    h = w = 7
+    net = PixelCNNNet(channels=1, hidden_dim=8, n_classes=4,
+                      class_condition=True)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, h, w, 1)), jnp.float32)
+    y = jax.nn.one_hot(jnp.asarray([1, 3]), 4)
+    params = net.init(jax.random.PRNGKey(0), x, y)
+    full = net.apply(params, x, y)
+    inc = net.apply(params, x, y, method=PixelCNNNet.row_logits)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full), atol=1e-4)
+
+
+def test_made_pixel_logits_match_full():
+    from igm_tpu.models.made import MADENet
+
+    d = 16
+    net = MADENet(in_dim=d, hidden_dim=32, n_class=8, n_layer=2)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(2, d)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    full = net.apply(params, x)  # (N, D, n_class)
+    for i in (0, 7, d - 1):
+        fast = net.apply(params, x, jnp.int32(i),
+                         method=MADENet.pixel_logits)
+        np.testing.assert_allclose(np.asarray(fast),
+                                   np.asarray(full[:, i]), atol=1e-5)
