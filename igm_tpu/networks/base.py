@@ -71,7 +71,6 @@ class Norm(nn.Module):
     ``batch_stats`` collection, like torch's running_mean/var buffers).
     """
     norm_type: Optional[str]
-    use_running_average: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -93,11 +92,7 @@ class Norm(nn.Module):
             mean = x.mean(axis=axes, keepdims=True)
             var = x.var(axis=axes, keepdims=True)
             return (x - mean) * jax.lax.rsqrt(var + 1e-5)
-        raise NotImplementedError(f"norm_type={norm_type_repr(nt)}")
-
-
-def norm_type_repr(nt):
-    return repr(nt)
+        raise NotImplementedError(f"norm_type={nt!r}")
 
 
 class Conv(nn.Module):

@@ -49,6 +49,7 @@ SMOKE_EXPERIMENTS = [
     "pixelcnn/mnist",
     "tar/mnist",
     "ddpm/mnist",
+    "ddpm/cifar10",
 ]
 
 
@@ -69,7 +70,7 @@ def test_smoke(config_dir, tmp_path, experiment):
     if experiment.startswith("ddpm"):
         # tiny UNet + short chain so the scan sampler stays fast on CPU
         extra = ["model.hidden_dim=16", "model.timesteps=8",
-                 "datamodule.batch_size=8"]
+                 "datamodule.batch_size=8", "+model.sample_batch=8"]
     if experiment.startswith(("pixelcnn", "made", "tar")):
         extra = ["datamodule.batch_size=8"]
         if experiment.startswith("pixelcnn"):

@@ -176,3 +176,35 @@ def test_make_grid_matches_torchvision_layout():
     assert grid.shape == (1 + 2 * 4, 1 + 2 * 4, 3)
     assert grid[0, 0, 0] == 1.0  # padding
     assert grid[1, 1, 0] == 0.0  # image content
+
+
+def test_gan_batchnorm_stats_update_in_both_phases():
+    """torch train-mode BN parity (SURVEY §7 hard-part 3): D's running stats
+    must move during the G phase too (D forward on fakes is train-mode)."""
+    import jax
+    from igm_tpu.config import to_node
+    from igm_tpu.models.gan import GAN
+
+    dm = to_node({"width": 8, "height": 8, "channels": 1,
+                  "transforms": {"convert": True, "normalize": True}})
+    net_g = to_node({"_target_": "igm_tpu.networks.basic.MLPDecoder",
+                     "hidden_dims": [16, 16], "width": 8, "height": 8,
+                     "output_act": "tanh", "norm_type": "batch"})
+    # NOTE: MLPEncoder's first hidden layer is always layer-normed
+    # (basic.py:84-91); two hidden layers ensure a BatchNorm exists in netD
+    net_d = to_node({"_target_": "igm_tpu.networks.basic.MLPEncoder",
+                     "hidden_dims": [16, 16], "width": 8, "height": 8,
+                     "norm_type": "batch"})
+    model = GAN(datamodule=dm, netG=net_g, netD=net_d, latent_dim=4)
+    model.steps_per_epoch = 10
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    batch = (np.random.default_rng(0).integers(0, 255, (8, 8, 8, 1),
+                                               dtype=np.uint8),
+             np.zeros((8,), np.int32))
+    step = jax.jit(model.train_step)
+    before = jax.device_get(state.mutables["netD"])
+    state2, _ = step(state, batch)  # step 0 = G phase
+    after_g = jax.device_get(state2.mutables["netD"])
+    diff = sum(float(np.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after_g)))
+    assert diff > 0, "netD batch_stats did not update during the G phase"
