@@ -23,6 +23,10 @@ def extras(config: Any) -> None:
         # IGM_PLATFORM=cpu forces the in-process backend for CI/offline runs.
         import jax
         jax.config.update("jax_platforms", platform)
+    if os.environ.get("IGM_MULTIHOST") == "1":
+        # pod-slice SPMD: same code path, global mesh (docs/SCALING.md)
+        import jax
+        jax.distributed.initialize()
     if config.get("ignore_warnings"):
         import warnings
         warnings.filterwarnings("ignore")
