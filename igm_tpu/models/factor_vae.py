@@ -97,7 +97,7 @@ class FactorVAE(BaseModel):
                                                z1)
             g_adv = adversarial_loss(fake_logit, True, mode)
             loss = recon_loss + reg_loss + hp.adv_weight * g_adv
-            aux = {"fake_logit": fake_logit,
+            aux = {"z1": z1,
                    "metrics": {"train_loss/reg_loss": reg_loss,
                                "train_loss/recon_loss": recon_loss,
                                "train_loss/g_adv_loss": g_adv},
@@ -107,7 +107,12 @@ class FactorVAE(BaseModel):
 
         state, _, aux = self.optimizers.grad_step(state, "ae", ae_loss_fn)
         metrics = dict(aux["metrics"])
-        fake_logit = jax.lax.stop_gradient(aux["fake_logit"])
+        # the reference reuses the AE phase's retained graph for the D update
+        # (`factor_vae.py:112`, backward(inputs=netD)): netD params were NOT
+        # touched by the AE step, so re-evaluating netD on the detached z1
+        # samples is the exact functional equivalent — and keeps the fake
+        # term DIFFERENTIABLE w.r.t. netD (D must learn from both sides)
+        z1_detached = jax.lax.stop_gradient(aux["z1"])
 
         # ---- D phase (factor_vae.py:107-115): encoder output detached
         def d_loss_fn(params):
@@ -117,6 +122,8 @@ class FactorVAE(BaseModel):
             perm_z = permute_dims(perm_rng, z2s)
             real_logit, _ = self.modules.apply("netD", params, state.mutables,
                                                perm_z)
+            fake_logit, _ = self.modules.apply("netD", params, state.mutables,
+                                               z1_detached)
             d_loss = (adversarial_loss(real_logit, True, mode)
                       + adversarial_loss(fake_logit, False, mode))
             return d_loss, {
