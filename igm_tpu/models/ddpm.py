@@ -27,13 +27,15 @@ class DDPM(BaseModel):
                  dim_mults: Sequence[int] = (1, 2, 4, 8), lr: float = 2e-4,
                  b1: float = 0.5, b2: float = 0.999, optim: str = "adam",
                  beta_schedule: str = "cosine", sample_batch: int = 64,
-                 compute_dtype: str = "auto", remat: bool = False, **kwargs):
+                 compute_dtype: str = "auto", remat: bool = False,
+                 ema_decay: float = 0.0, **kwargs):
         super().__init__(datamodule)
         self.save_hyperparameters(hidden_dim=hidden_dim, timesteps=timesteps,
                                   loss_type=loss_type,
                                   dim_mults=list(dim_mults), lr=lr, b1=b1,
                                   b2=b2, beta_schedule=beta_schedule,
-                                  sample_batch=sample_batch)
+                                  sample_batch=sample_batch,
+                                  ema_decay=ema_decay)
         self.timesteps = int(timesteps)
         self.tables = gd.make_tables(self.timesteps, beta_schedule)
         # bfloat16 convs on TPU (MXU fast path; params + loss stay f32);
@@ -51,8 +53,15 @@ class DDPM(BaseModel):
         hp = self.hparams
         self.optimizers = OptimizerSet().add(
             "opt", adam(hp.lr, hp.b1, hp.b2), ["denoise"])
-        return self.make_state(rng, {
+        state = self.make_state(rng, {
             "denoise": (self.dummy_image_batch(1), jnp.zeros((1,)))})
+        if hp.ema_decay > 0:
+            # EMA shadow of the denoiser (beyond-parity quality lever;
+            # standard DDPM practice, absent in the reference) — carried in
+            # opt_states so checkpoints/resume include it.
+            state = state.replace(opt_states={
+                **state.opt_states, "ema": state.params["denoise"]})
+        return state
 
     # ------------------------------------------------------------------ train
     def train_step(self, state: TrainState, batch):
@@ -78,11 +87,20 @@ class DDPM(BaseModel):
                           "mutables": {**state.mutables, "denoise": mut}}
 
         state, _, aux = self.optimizers.grad_step(state, "opt", loss_fn)
+        if self.hparams.ema_decay > 0:
+            d = self.hparams.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                state.opt_states["ema"], state.params["denoise"])
+            state = state.replace(opt_states={**state.opt_states, "ema": ema})
         return bump(state), aux["metrics"]
 
     # --------------------------------------------------------------- sampling
     def _denoise(self, state, x, t):
-        out, _ = self.modules.apply("denoise", state.params, state.mutables,
+        params = state.params
+        if self.hparams.ema_decay > 0 and "ema" in state.opt_states:
+            params = {**params, "denoise": state.opt_states["ema"]}
+        out, _ = self.modules.apply("denoise", params, state.mutables,
                                     x, t, train=False)
         return out
 
@@ -119,6 +137,41 @@ class DDPM(BaseModel):
     def sample(self, state: TrainState, rng: jax.Array, n: int) -> jnp.ndarray:
         return self.p_sample_loop(
             state, rng, (n, self.height, self.width, self.channels))
+
+    def ddim_sample(self, state: TrainState, rng: jax.Array, n: int,
+                    steps: int = 50, eta: float = 0.0) -> jnp.ndarray:
+        """DDIM sampler (Song et al. 2021) over an evenly-spaced timestep
+        subsequence — beyond-parity fast inference (steps ~50 vs the
+        ancestral chain's 1000).  eta=0 gives the deterministic ODE sampler.
+        """
+        shape = (n, self.height, self.width, self.channels)
+        init_rng, chain_rng = jax.random.split(rng)
+        x = jax.random.normal(init_rng, shape)
+        seq = jnp.linspace(0, self.timesteps - 1, steps).round().astype(jnp.int32)
+        seq_prev = jnp.concatenate([jnp.array([-1], jnp.int32), seq[:-1]])
+        tbl = self.tables
+
+        def step(carry, ts):
+            x, key = carry
+            t, t_prev = ts
+            key, sub = jax.random.split(key)
+            tb = jnp.full((n,), t, jnp.int32)
+            eps = self._denoise(state, x, tb.astype(jnp.float32))
+            a_t = tbl.alphas_cumprod[t]
+            a_prev = jnp.where(t_prev >= 0, tbl.alphas_cumprod[t_prev], 1.0)
+            x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+            x0 = jnp.clip(x0, -1.0, 1.0)
+            sigma = (eta * jnp.sqrt((1 - a_prev) / (1 - a_t))
+                     * jnp.sqrt(1 - a_t / a_prev))
+            dir_xt = jnp.sqrt(jnp.maximum(1 - a_prev - sigma ** 2, 0.0)) * eps
+            noise = jax.random.normal(sub, shape)
+            x = (jnp.sqrt(a_prev) * x0 + dir_xt
+                 + jnp.where(t_prev >= 0, sigma, 0.0) * noise)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, chain_rng),
+                                 (seq[::-1], seq_prev[::-1]))
+        return x
 
     def interpolate(self, state, rng, x1, x2, t: int | None = None,
                     weight: float = 0.5) -> jnp.ndarray:

@@ -192,3 +192,27 @@ def test_made_pixel_logits_match_full():
                          method=MADENet.pixel_logits)
         np.testing.assert_allclose(np.asarray(fast),
                                    np.asarray(full[:, i]), atol=1e-5)
+
+
+def test_ddpm_ema_and_ddim():
+    from igm_tpu.config import to_node
+    from igm_tpu.models.ddpm import DDPM
+
+    dm = to_node({"width": 8, "height": 8, "channels": 1,
+                  "transforms": {"convert": True, "normalize": True}})
+    model = DDPM(datamodule=dm, hidden_dim=8, timesteps=20, dim_mults=[1, 2],
+                 ema_decay=0.9)
+    model.steps_per_epoch = 10
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    assert "ema" in state.opt_states
+    batch = (np.zeros((4, 8, 8, 1), np.uint8), np.zeros((4,), np.int32))
+    state2, _ = jax.jit(model.train_step)(state, batch)
+    # ema moved toward the updated params but is not equal to them
+    p = jax.tree_util.tree_leaves(state2.params["denoise"])
+    e = jax.tree_util.tree_leaves(state2.opt_states["ema"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(p, e))
+    imgs = jax.jit(lambda s, r: model.ddim_sample(s, r, 2, steps=5))(
+        state2, jax.random.PRNGKey(1))
+    assert imgs.shape == (2, 8, 8, 1)
+    assert np.isfinite(np.asarray(imgs)).all()
