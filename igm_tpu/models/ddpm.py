@@ -28,14 +28,17 @@ class DDPM(BaseModel):
                  b1: float = 0.5, b2: float = 0.999, optim: str = "adam",
                  beta_schedule: str = "cosine", sample_batch: int = 64,
                  compute_dtype: str = "auto", remat: bool = False,
-                 ema_decay: float = 0.0, **kwargs):
+                 ema_decay: float = 0.0, val_sampler: str = "ancestral",
+                 ddim_steps: int = 50, **kwargs):
         super().__init__(datamodule)
         self.save_hyperparameters(hidden_dim=hidden_dim, timesteps=timesteps,
                                   loss_type=loss_type,
                                   dim_mults=list(dim_mults), lr=lr, b1=b1,
                                   b2=b2, beta_schedule=beta_schedule,
                                   sample_batch=sample_batch,
-                                  ema_decay=ema_decay)
+                                  ema_decay=ema_decay,
+                                  val_sampler=val_sampler,
+                                  ddim_steps=ddim_steps)
         self.timesteps = int(timesteps)
         self.tables = gd.make_tables(self.timesteps, beta_schedule)
         # bfloat16 convs on TPU (MXU fast path; params + loss stay f32);
@@ -196,6 +199,11 @@ class DDPM(BaseModel):
                                      jax.random.normal(noise_rng, imgs.shape))
         result = {"real_image": imgs, "others": {"diffusion": diffusion_imgs}}
         if sample:
-            result["fake_image"] = self.sample(
-                state, sample_rng, int(self.hparams.sample_batch))
+            n_s = int(self.hparams.sample_batch)
+            if self.hparams.val_sampler == "ddim":
+                # beyond-parity: 20x cheaper validation sampling
+                result["fake_image"] = self.ddim_sample(
+                    state, sample_rng, n_s, steps=int(self.hparams.ddim_steps))
+            else:
+                result["fake_image"] = self.sample(state, sample_rng, n_s)
         return result, {}
