@@ -31,9 +31,15 @@ from .base import BaseModel
 LOG2 = float(np.log(2.0))
 
 
-def build_masks(in_dim: int, hidden_dim: int, n_layer: int, n_class: int,
-                seed: int = 0):
-    """Degree-based autoregressive masks (made.py:43-59)."""
+def build_masks(in_dim: int, hidden_dim: int, n_layer: int, seed: int = 0):
+    """Degree-based autoregressive masks (made.py:43-59).
+
+    Returns (hidden_masks, out_mask_small): hidden masks are
+    (out_features, in_features); the OUTPUT mask is kept in its compact
+    (in_dim, hidden_dim) form — the naive expanded (in_dim*n_class, hidden)
+    mask is ~0.8 GB at the reference's sizes and, embedded as an XLA
+    constant, exceeded the remote-compile payload limit.
+    """
     rng = np.random.default_rng(seed)
     units = [np.arange(in_dim)]
     low = 0
@@ -41,12 +47,13 @@ def build_masks(in_dim: int, hidden_dim: int, n_layer: int, n_class: int,
         hidden = rng.integers(low, in_dim, size=(hidden_dim,))
         units.append(hidden)
         low = int(hidden.min())
-    out_unit = np.repeat(np.arange(in_dim), n_class) - 1
-    units.append(out_unit)
     masks = []
     for in_u, out_u in zip(units[:-1], units[1:]):
         masks.append((out_u[:, None] >= in_u[None, :]).astype(np.float32))
-    return masks  # each (out_features, in_features)
+    # out_unit for pixel i is (i - 1); connection iff i-1 >= degree(h)
+    out_small = (np.arange(in_dim)[:, None] - 1
+                 >= units[-1][None, :]).astype(np.float32)  # (in_dim, hidden)
+    return masks, out_small
 
 
 class MaskedLinear(nn.Module):
@@ -60,14 +67,41 @@ class MaskedLinear(nn.Module):
     def __call__(self, x):
         return x @ (self.kernel * jnp.asarray(self.mask).T) + self.bias
 
-    def sliced(self, x, start, size: int):
-        """Output features [start, start+size) only — the sampling loop
-        needs one pixel's logits, not the full (in_dim*n_class) output."""
-        w = jax.lax.dynamic_slice_in_dim(self.kernel, start, size, axis=1)
-        m = jax.lax.dynamic_slice_in_dim(jnp.asarray(self.mask.T), start,
-                                         size, axis=1)
-        b = jax.lax.dynamic_slice_in_dim(self.bias, start, size, axis=0)
-        return x @ (w * m) + b
+
+
+
+class MaskedPixelOutput(nn.Module):
+    """The hidden -> (in_dim x n_class) output layer with the mask kept in
+    its compact (in_dim, hidden) form; the masked kernel is a TRANSIENT
+    (never an HLO constant, never a persistent buffer)."""
+    mask_small: Any  # (in_dim, hidden) numpy
+    n_class: int
+
+    def setup(self):
+        in_dim, hidden = self.mask_small.shape
+        self.kernel = self.param(
+            "kernel", torch_kernel_init, (hidden, in_dim * self.n_class))
+        self.bias = self.param(
+            "bias", make_bias_init(hidden), (in_dim * self.n_class,))
+
+    def __call__(self, x):
+        in_dim, hidden = self.mask_small.shape
+        m = jnp.asarray(self.mask_small)                     # (in_dim, hidden)
+        w = self.kernel.reshape(hidden, in_dim, self.n_class)
+        wm = w * m.T[:, :, None]
+        y = jnp.einsum("nh,hia->nia", x, wm)
+        return y + self.bias.reshape(in_dim, self.n_class)
+
+    def pixel(self, x, i):
+        """(N, hidden), pixel index -> (N, n_class) logits for pixel i."""
+        in_dim, hidden = self.mask_small.shape
+        m_i = jax.lax.dynamic_slice_in_dim(jnp.asarray(self.mask_small), i,
+                                           1, axis=0)[0]     # (hidden,)
+        w = self.kernel.reshape(hidden, in_dim, self.n_class)
+        w_i = jax.lax.dynamic_slice_in_dim(w, i, 1, axis=1)[:, 0]
+        b_i = jax.lax.dynamic_slice_in_dim(
+            self.bias.reshape(in_dim, self.n_class), i, 1, axis=0)[0]
+        return (x * m_i) @ w_i + b_i
 
 
 class MADENet(nn.Module):
@@ -78,27 +112,26 @@ class MADENet(nn.Module):
     mask_seed: int = 0
 
     def setup(self):
-        self.masks = build_masks(self.in_dim, self.hidden_dim, self.n_layer,
-                                 self.n_class, self.mask_seed)
-        self.layers = [MaskedLinear(m) for m in self.masks]
+        hidden_masks, out_small = build_masks(
+            self.in_dim, self.hidden_dim, self.n_layer, self.mask_seed)
+        self.layers = [MaskedLinear(m) for m in hidden_masks]
+        self.out_layer = MaskedPixelOutput(out_small, self.n_class)
 
     def __call__(self, x_flat, train: bool = True):
         """x_flat: (N, D) floats -> logits (N, D, n_class)."""
         x = x_flat
-        for layer in self.layers[:-1]:
+        for layer in self.layers:
             x = jax.nn.sigmoid(layer(x))
-        x = self.layers[-1](x)
-        return x.reshape(x.shape[0], self.in_dim, self.n_class)
+        return self.out_layer(x)
 
     def pixel_logits(self, x_flat, i):
         """Logits for pixel ``i`` only: hidden layers run in full, the huge
         output layer (hidden -> D*n_class, ~99% of the FLOPs at the
-        reference's hidden_dim=1024) is sliced to this pixel's n_class
-        columns (output features are pixel-major: ``np.repeat`` layout)."""
+        reference's hidden_dim=1024) is sliced to this pixel."""
         x = x_flat
-        for layer in self.layers[:-1]:
+        for layer in self.layers:
             x = jax.nn.sigmoid(layer(x))
-        return self.layers[-1].sliced(x, i * self.n_class, self.n_class)
+        return self.out_layer.pixel(x, i)
 
 
 class MADE(BaseModel):
