@@ -86,9 +86,21 @@ class BaseModel:
 
     def forward(self, state: TrainState, z: jnp.ndarray) -> jnp.ndarray:
         """Decode latents with the generator module (name configurable via
-        ``decoder_module_name``).  Used by traversal/2D-grid callbacks."""
-        out, _ = self.modules.apply(self.decoder_module_name, state.params,
-                                    state.mutables, z, train=False)
+        ``decoder_module_name``).  Used by traversal/2D-grid callbacks.
+
+        Jitted (cached on the model): callbacks call this from host code, and
+        an eager decode is hundreds of per-op round trips on a remote-device
+        backend (NOTES.md gotchas)."""
+        if getattr(self, "_forward_jit", None) is None:
+            name = self.decoder_module_name
+
+            def _fwd(params, mutables, z):
+                out, _ = self.modules.apply(name, params, mutables, z,
+                                            train=False)
+                return out
+
+            self._forward_jit = jax.jit(_fwd)
+        out = self._forward_jit(state.params, state.mutables, z)
         return out.reshape(z.shape[0], self.height, self.width, self.channels)
 
     def sample(self, state: TrainState, rng: jax.Array, n: int) -> jnp.ndarray:

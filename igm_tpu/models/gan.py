@@ -51,11 +51,6 @@ class GAN(BaseModel):
             "netD": (self.dummy_image_batch(),),
         })
 
-    def forward(self, state: TrainState, z: jnp.ndarray) -> jnp.ndarray:
-        out, _ = self.modules.apply("netG", state.params, state.mutables, z,
-                                    train=False)
-        return out.reshape(z.shape[0], self.height, self.width, self.channels)
-
     # ------------------------------------------------------------------ steps
     def train_step(self, state: TrainState, batch):
         imgs_raw, _ = batch

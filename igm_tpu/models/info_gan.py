@@ -109,9 +109,7 @@ class InfoGAN(BaseModel):
 
     def decode(self, state, rng, n, dis_c_index=None, cont_c=None, z=None):
         latent, _ = self._make_latent(rng, n, dis_c_index, cont_c, z)
-        out, _ = self.modules.apply("netG", state.params, state.mutables,
-                                    latent, train=False)
-        return out.reshape(n, self.height, self.width, self.channels)
+        return self.forward(state, latent)
 
     def _encode(self, params, mutables, x, train: bool):
         feat, mut_c = self.modules.apply("common", params, mutables, x,

@@ -36,6 +36,7 @@ class GAN(BaseModel):  # class name parity with the reference file
             netD=instantiate(netD, input_channel=self.channels,
                              output_channel=1),
         )
+        self.decoder_module_name = "netG"
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams
@@ -46,11 +47,6 @@ class GAN(BaseModel):  # class name parity with the reference file
             "netG": (jnp.zeros((1, hp.latent_dim)),),
             "netD": (self.dummy_image_batch(),),
         })
-
-    def forward(self, state: TrainState, z: jnp.ndarray) -> jnp.ndarray:
-        out, _ = self.modules.apply("netG", state.params, state.mutables, z,
-                                    train=False)
-        return out.reshape(z.shape[0], self.height, self.width, self.channels)
 
     def train_step(self, state: TrainState, batch):
         imgs_raw, _ = batch
