@@ -27,6 +27,16 @@ def extras(config: Any) -> None:
         # pod-slice SPMD: same code path, global mesh (docs/SCALING.md)
         import jax
         jax.distributed.initialize()
+    try:
+        # persistent compile cache: repeat runs skip the multi-minute XLA
+        # compiles (critical over a remote-compile tunnel)
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     if config.get("ignore_warnings"):
         import warnings
         warnings.filterwarnings("ignore")
