@@ -122,6 +122,9 @@ class InfoGAN(BaseModel):
 
     # ------------------------------------------------------------------ steps
     def train_step(self, state: TrainState, batch):
+        """BOTH optimizers step every batch (PL1.x optimizer_idx semantics,
+        `info_gan.py:99` — the reference's intent; under its pinned PL2 the
+        optimizer_idx signature no longer runs at all, SURVEY.md §8)."""
         imgs_raw, _ = batch
         state, rng = state.next_rng()
         imgs = self.preprocess(imgs_raw)
@@ -129,7 +132,7 @@ class InfoGAN(BaseModel):
         hp = self.hparams
         mode = hp.loss_mode
 
-        def g_branch(state: TrainState):
+        def g_phase(state: TrainState):
             def loss_fn(params):
                 latent, (dis_idx, cont_c, _z) = self._make_latent(rng, n)
                 fake, mut_g = self.modules.apply("netG", params,
@@ -147,10 +150,7 @@ class InfoGAN(BaseModel):
                 total = g_loss + hp.lambda_I * (i_disc + i_cont)
                 metrics = {"train_loss/g_loss": g_loss,
                            "train_loss/I_discrete_loss": i_disc,
-                           "train_loss/I_continuous": i_cont,
-                           "train_loss/d_loss": NAN,
-                           "train_log/pred_real": NAN,
-                           "train_log/pred_fake": NAN}
+                           "train_loss/I_continuous": i_cont}
                 return total, {"metrics": metrics,
                                "mutables": {**state.mutables, "netG": mut_g,
                                             "common": mut_c}}
@@ -158,7 +158,7 @@ class InfoGAN(BaseModel):
             state2, _, aux = self.optimizers.grad_step(state, "g", loss_fn)
             return state2, aux["metrics"]
 
-        def d_branch(state: TrainState):
+        def d_phase(state: TrainState):
             def loss_fn(params):
                 feat_r, mut_c = self.modules.apply("common", params,
                                                    state.mutables, imgs)
@@ -176,10 +176,7 @@ class InfoGAN(BaseModel):
                                                   state.mutables, feat_f)
                 fake_loss = adversarial_loss(pred_fake, False, mode)
                 d_loss = (real_loss + fake_loss) / 2.0
-                metrics = {"train_loss/g_loss": NAN,
-                           "train_loss/I_discrete_loss": NAN,
-                           "train_loss/I_continuous": NAN,
-                           "train_loss/d_loss": d_loss,
+                metrics = {"train_loss/d_loss": d_loss,
                            "train_log/pred_real": pred_real.mean(),
                            "train_log/pred_fake": pred_fake.mean()}
                 return d_loss, {"metrics": metrics,
@@ -189,9 +186,9 @@ class InfoGAN(BaseModel):
             state2, _, aux = self.optimizers.grad_step(state, "d", loss_fn)
             return state2, aux["metrics"]
 
-        state, metrics = jax.lax.cond(state.step % 2 == 0, g_branch, d_branch,
-                                      state)
-        return bump(state), metrics
+        state, g_metrics = g_phase(state)
+        state, d_metrics = d_phase(state)
+        return bump(state), {**g_metrics, **d_metrics}
 
     def validation_step(self, state: TrainState, batch, rng: jax.Array,
                         sample: bool = False):
