@@ -16,7 +16,6 @@ Feature extractors are pluggable:
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional
 
 import jax

@@ -11,7 +11,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from .state import TrainState
 

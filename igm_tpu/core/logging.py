@@ -7,7 +7,7 @@ Tag names match the reference (``train_loss/*``, ``train_log/*``,
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -17,7 +17,7 @@ the runtime is explicit and TPU-shaped:
 from __future__ import annotations
 
 import time
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import numpy as np

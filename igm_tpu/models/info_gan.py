@@ -11,7 +11,7 @@ Traversal grids are rendered in on_train_epoch_end (`info_gan.py:135-169`).
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

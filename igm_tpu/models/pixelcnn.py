@@ -25,7 +25,7 @@ full forward is asserted in tests/test_causality.py.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ Math parity with `src/models/ddpm.py:146-166` via igm_tpu.ops.attention.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
