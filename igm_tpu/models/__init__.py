@@ -1,0 +1,13 @@
+"""Model zoo — one module per method family (SURVEY.md §2 models table).
+
+Modules are imported lazily by the config layer (``_target_`` paths); this
+listing is for interactive use::
+
+    from igm_tpu.models import vae, gan, ddpm, ...
+"""
+
+__all__ = [
+    "aae", "age", "base", "BiGAN", "cvae", "ddpm", "factor_vae", "gan",
+    "info_gan", "made", "pixelcnn", "speed_gan", "tar", "vae", "vae_gan",
+    "vqvae", "wgan", "wgan_gp",
+]
