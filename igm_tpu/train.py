@@ -50,6 +50,13 @@ def extras(config: Any) -> None:
 
 def train(config: Any):
     extras(config)
+    if not config.get("model") or not config.get("datamodule"):
+        raise SystemExit(
+            "No model/datamodule selected. Pick an experiment, e.g.\n"
+            "    python run.py experiment=vae/mnist_mlp\n"
+            "or select groups directly:\n"
+            "    python run.py model=gan networks=conv_mnist datamodule=mnist\n"
+            "Available experiments: ls configs/experiment/*/")
     datamodule = instantiate(config.datamodule)
     log.info("Instantiated datamodule <%s>", config.datamodule._target_)
 
