@@ -80,8 +80,11 @@ class RandomConvFeatures:
         self._apply = jax.jit(self.net.apply)
 
     def __call__(self, imgs_uint8: np.ndarray) -> np.ndarray:
-        """imgs: uint8 NHWC (any HxW; RGB)."""
+        """imgs: uint8 NHWC; grayscale is tiled to RGB (torchmetrics
+        convention — its FID expects 3-channel input)."""
         x = jnp.asarray(imgs_uint8).astype(jnp.float32) / 127.5 - 1.0
+        if x.shape[-1] == 1:
+            x = jnp.tile(x, (1, 1, 1, 3))
         return np.asarray(self._apply(self.params, x))
 
 
@@ -98,6 +101,8 @@ class InceptionFeatures:
 
     def __call__(self, imgs_uint8: np.ndarray) -> np.ndarray:
         x = jnp.asarray(imgs_uint8).astype(jnp.float32) / 255.0
+        if x.shape[-1] == 1:
+            x = jnp.tile(x, (1, 1, 1, 3))
         # torchmetrics: resize to 299 bilinear, normalize imagenet stats
         x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
         mean = jnp.asarray([0.485, 0.456, 0.406])

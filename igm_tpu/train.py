@@ -17,12 +17,8 @@ log = get_logger(__name__)
 def extras(config: Any) -> None:
     """Debug-mode conveniences (parity: src/utils/utils.py:35-76)."""
     import os
-    platform = os.environ.get("IGM_PLATFORM")
-    if platform:
-        # The machine profile may pin JAX_PLATFORMS (remote TPU tunnel);
-        # IGM_PLATFORM=cpu forces the in-process backend for CI/offline runs.
-        import jax
-        jax.config.update("jax_platforms", platform)
+    from .utils.platform import apply_platform_env
+    apply_platform_env()
     if os.environ.get("IGM_MULTIHOST") == "1":
         # pod-slice SPMD: same code path, global mesh (docs/SCALING.md)
         import jax
