@@ -6,18 +6,29 @@ Runs the flagship config's exact training step (UNet dim=64, mults [1,2,4],
 uint8 data, jitted with donated state on the default device (TPU under the
 driver).  Prints ONE JSON line:
 
-    {"metric": ..., "value": N, "unit": "imgs/sec", "vs_baseline": R}
+    {"metric": ..., "value": N, "unit": "imgs/sec", "vs_baseline": R,
+     "flops_per_step": F, "mfu": M, "device": ..., ...}
 
 Baseline: the reference (PyTorch-Lightning, `src/models/ddpm.py`) publishes
 no numbers (SURVEY.md §6).  BASELINE_IMGS_PER_SEC below is our recorded
 estimate of the reference's single-V100 throughput for this exact UNet/batch
 (fp32 torch, batch 128, ~0.7s/step ≈ 180 imgs/s) — the best available
 stand-in until a measured reference number exists; vs_baseline is
-value / BASELINE_IMGS_PER_SEC.
+value / BASELINE_IMGS_PER_SEC.  See benchmarks/BASELINE_DERIVATION.md for
+the step-time derivation behind the estimate.
+
+Wedge resilience (round-1 incident, NOTES.md): the axon TPU tunnel can be
+left unusable by a previously killed client — backend init then either
+raises UNAVAILABLE or hangs forever.  So before touching the device in this
+process, we probe it in a SUBPROCESS with a hard timeout, retry once after a
+cooldown, and on persistent failure print a diagnostic JSON line (metric +
+"error") instead of dying with a raw traceback.
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -25,16 +36,82 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
 
-import os
-
 BASELINE_IMGS_PER_SEC = 180.0
 BATCH = int(os.environ.get("IGM_BENCH_BATCH", "256"))
 WARMUP = 3
 ITERS = int(os.environ.get("IGM_BENCH_ITERS", "20"))
+# First DDPM compile through the axon tunnel can take ~5-8 min (NOTES.md);
+# probe timeout must cover a cold compile of the probe's tiny matmul only.
+PROBE_TIMEOUT_S = int(os.environ.get("IGM_BENCH_PROBE_TIMEOUT", "240"))
+PROBE_COOLDOWN_S = int(os.environ.get("IGM_BENCH_PROBE_COOLDOWN", "60"))
+
+_PROBE_SRC = r"""
+import os, json
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import jax
+if os.environ.get("IGM_PLATFORM"):  # axon plugin overrides plain env vars
+    jax.config.update("jax_platforms", os.environ["IGM_PLATFORM"])
+import jax.numpy as jnp
+d = jax.devices()[0]
+out = float(jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128), jnp.bfloat16)))
+print(json.dumps({"platform": d.platform, "kind": getattr(d, "device_kind", "?"),
+                  "ok": out == 128.0 * 128.0}))
+"""
+
+# bf16 peak FLOP/s per chip by device kind (public figures); used for MFU.
+_PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12, "v5": 459e12,
+    "v6e": 918e12, "trillium": 918e12,
+    "cpu": 1e12,  # nominal, so MFU stays defined in CPU smoke runs
+}
+
+
+def _peak_flops(device_kind: str, platform: str) -> float:
+    kind = device_kind.lower()
+    for key, val in _PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return _PEAK_FLOPS.get(platform.lower(), 197e12)
+
+
+def probe_device() -> dict:
+    """Run the tiny-probe in a subprocess; returns its JSON or raises."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _PROBE_SRC], capture_output=True, text=True,
+        timeout=PROBE_TIMEOUT_S)
+    if proc.returncode != 0:
+        raise RuntimeError(f"probe rc={proc.returncode}: "
+                           f"{proc.stderr.strip()[-400:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
+    probe_err = ""
+    for attempt in range(2):
+        try:
+            info = probe_device()
+            break
+        except Exception as exc:  # UNAVAILABLE, timeout (hung tunnel), ...
+            probe_err = f"attempt {attempt + 1}: {type(exc).__name__}: {exc}"
+            sys.stderr.write(f"[bench] device probe failed — {probe_err}\n")
+            if attempt == 0:
+                time.sleep(PROBE_COOLDOWN_S)
+    else:
+        # Device unusable.  One diagnostic JSON line, non-crash exit.
+        print(json.dumps({
+            "metric": "ddpm_cifar10_train_imgs_per_sec",
+            "value": None, "unit": "imgs/sec", "vs_baseline": None,
+            "error": f"TPU backend unavailable after retry ({probe_err}); "
+                     "see NOTES.md round-1 tunnel-wedge incident",
+        }))
+        sys.exit(2)
+
     import jax
+
+    from igm_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # IGM_PLATFORM=cpu for off-TPU smoke runs
     import numpy as np
 
     # persistent compile cache: repeat bench invocations skip the ~minutes
@@ -69,6 +146,17 @@ def main() -> None:
              np.zeros((BATCH,), np.int32))
     dev_batch = mesh_lib.shard_batch(mesh, batch)
 
+    # FLOPs/step from XLA's own cost analysis of the lowered computation.
+    flops_per_step = None
+    try:
+        compiled = step.lower(state, dev_batch).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception as exc:
+        sys.stderr.write(f"[bench] cost analysis unavailable: {exc}\n")
+
     for _ in range(WARMUP):
         state, metrics = step(state, dev_batch)
     jax.block_until_ready(state.params)
@@ -80,12 +168,23 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt
-    print(json.dumps({
+    dev = jax.devices()[0]
+    out = {
         "metric": "ddpm_cifar10_train_imgs_per_sec",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
-    }))
+        "batch": BATCH,
+        "steps_per_sec": round(ITERS / dt, 3),
+        "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+    }
+    if flops_per_step:
+        peak = _peak_flops(getattr(dev, "device_kind", ""), dev.platform)
+        achieved = flops_per_step * ITERS / dt
+        out["flops_per_step"] = round(flops_per_step / 1e9, 2)  # GFLOPs
+        out["achieved_tflops"] = round(achieved / 1e12, 2)
+        out["mfu"] = round(achieved / peak, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -39,9 +39,11 @@ class FIDEvaluationCallback:
         fe, dim, name = get_feature_backend(self.backend)
         if name != "inception" and not self._warned:
             log.warning("FID running with %r feature backend (no Inception "
-                        "weights found; set IGM_INCEPTION_WEIGHTS)", name)
+                        "weights found; set IGM_INCEPTION_WEIGHTS) — logging "
+                        "tag metrics/fid_%s, NOT metrics/fid", name, name)
             self._warned = True
         self._fe = fe
+        self._backend_name = name
         self._real = FeatureStats(dim)
         self._fake = FeatureStats(dim)
 
@@ -59,5 +61,12 @@ class FIDEvaluationCallback:
         mu_r, cov_r = self._real.finalize()
         mu_f, cov_f = self._fake.finalize()
         fid = frechet_distance(mu_r, cov_r, mu_f, cov_f)
-        trainer.log("metrics/fid", fid)
+        # The reference tag ``metrics/fid`` means Inception-pool3 FID
+        # (src/callbacks/evaluation.py:28-30).  A degraded backend logs a
+        # backend-suffixed tag so its values can never be mistaken for
+        # published-comparable FIDs.
+        if self._backend_name == "inception":
+            trainer.log("metrics/fid", fid)
+        else:
+            trainer.log(f"metrics/fid_{self._backend_name}", fid)
         self._real = self._fake = None

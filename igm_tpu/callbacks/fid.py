@@ -103,11 +103,13 @@ class InceptionFeatures:
         x = jnp.asarray(imgs_uint8).astype(jnp.float32) / 255.0
         if x.shape[-1] == 1:
             x = jnp.tile(x, (1, 1, 1, 3))
-        # torchmetrics: resize to 299 bilinear, normalize imagenet stats
+        # pytorch-fid / torchmetrics preprocessing: bilinear resize to
+        # 299 (align_corners=False semantics — matches jax.image.resize
+        # "bilinear"), then scale [0,1] -> [-1,1].  NOT imagenet stats:
+        # the FID network's TF-ported weights expect 2x-1 input
+        # (pytorch-fid InceptionV3.normalize_input).
         x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
-        mean = jnp.asarray([0.485, 0.456, 0.406])
-        std = jnp.asarray([0.229, 0.224, 0.225])
-        x = (x - mean) / std
+        x = 2.0 * x - 1.0
         return np.asarray(self._apply(self.params, x))
 
 
@@ -123,12 +125,14 @@ def get_feature_backend(name: Optional[str] = None):
     if name == "inception":
         weights = os.environ.get("IGM_INCEPTION_WEIGHTS", "")
         if weights and os.path.exists(weights):
-            try:
-                fe = InceptionFeatures(weights)
-                _BACKEND_CACHE[name] = (fe, fe.DIM, "inception")
-                return _BACKEND_CACHE[name]
-            except Exception:
-                pass
+            fe = InceptionFeatures(weights)  # raise loudly on a bad file
+            _BACKEND_CACHE[name] = (fe, fe.DIM, "inception")
+            return _BACKEND_CACHE[name]
+        import logging
+        logging.getLogger(__name__).warning(
+            "inception backend requested but IGM_INCEPTION_WEIGHTS=%r does "
+            "not exist — falling back to the random backend (FID values NOT "
+            "comparable to published Inception FIDs)", weights)
         name = "random"
     fe = RandomConvFeatures()
     _BACKEND_CACHE["random"] = (fe, fe.DIM, "random")

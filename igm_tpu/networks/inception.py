@@ -6,6 +6,14 @@ BasicConv2d = conv(bias-free) + BatchNorm(eps=1e-3) + ReLU; stem ->
 3x InceptionA -> InceptionB -> 4x InceptionC -> InceptionD -> 2x InceptionE
 -> global average pool -> 2048-d pool3 features.
 
+pytorch-fid's FID patches (vs stock torchvision) are reproduced exactly:
+- InceptionA/C and the first InceptionE use avg-pool with
+  count_include_pad=False in the pool branch;
+- the SECOND InceptionE (Mixed_7c) uses MAX-pool in the pool branch (a
+  known quirk of the original TF FID network, preserved by pytorch-fid).
+Verified bit-for-bit against a torch mirror of pytorch-fid's network in
+tests/test_inception_parity.py (converter round-trip included).
+
 Weights: no public authless download exists in this offline environment, so
 parameters load from a local npz (``load_weights_npz``); see
 ``tools/convert_inception_weights.py`` for the torch -> npz converter.  The
@@ -59,7 +67,8 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = BasicConv2d(96, (3, 3), padding=_pad(1, 1), name="branch3x3dbl_2")(b3)
         b3 = BasicConv2d(96, (3, 3), padding=_pad(1, 1), name="branch3x3dbl_3")(b3)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)],
+                         count_include_pad=False)
         bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -90,7 +99,8 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=_pad(0, 3), name="branch7x7dbl_3")(bd)
         bd = BasicConv2d(c7, (7, 1), padding=_pad(3, 0), name="branch7x7dbl_4")(bd)
         bd = BasicConv2d(192, (1, 7), padding=_pad(0, 3), name="branch7x7dbl_5")(bd)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
+        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)],
+                         count_include_pad=False)
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -109,7 +119,9 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
-    pool_mode: str = "avg"  # pytorch-fid uses avg in both E blocks for FID
+    # pytorch-fid: Mixed_7b (E_1) avg-pools (count_include_pad=False);
+    # Mixed_7c (E_2) MAX-pools — quirk of the original TF FID network.
+    pool_mode: str = "avg"
 
     @nn.compact
     def __call__(self, x):
@@ -124,7 +136,8 @@ class InceptionE(nn.Module):
         bdb = BasicConv2d(384, (3, 1), padding=_pad(1, 0), name="branch3x3dbl_3b")(bd)
         bd = jnp.concatenate([bda, bdb], axis=-1)
         if self.pool_mode == "avg":
-            bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
+            bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)],
+                         count_include_pad=False)
         else:
             bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
         bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
@@ -152,7 +165,7 @@ class InceptionV3(nn.Module):
         x = InceptionC(192, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(pool_mode="max", name="Mixed_7c")(x)
         return x.mean(axis=(1, 2))  # (N, 2048)
 
 
