@@ -189,14 +189,23 @@ class FIDInceptionV3(nn.Module):
 
 
 def randomized_mirror(seed: int = 0) -> FIDInceptionV3:
-    """Mirror with non-trivial BN running stats, to exercise BN folding."""
+    """Mirror with non-trivial BN running stats, to exercise BN folding.
+
+    Convs are re-initialised with ReLU-preserving kaiming_normal: torch's
+    default Conv2d init (kaiming_uniform, a=sqrt(5)) decays signal ~0.4x per
+    layer, and after 94 layers the pool3 features become input-INDEPENDENT
+    constants — which would make any feature/FID comparison vacuous.
+    """
     torch.manual_seed(seed)
     net = FIDInceptionV3().eval()
     with torch.no_grad():
         for mod in net.modules():
+            if isinstance(mod, nn.Conv2d):
+                nn.init.kaiming_normal_(mod.weight, nonlinearity="relu")
             if isinstance(mod, nn.BatchNorm2d):
                 mod.weight.uniform_(0.8, 1.2)
                 mod.bias.normal_(0.0, 0.05)
                 mod.running_mean.normal_(0.0, 0.05)
                 mod.running_var.uniform_(0.8, 1.2)
     return net
+

@@ -102,7 +102,11 @@ def test_fid_agreement_on_fixed_image_set(converted, tmp_path, monkeypatch):
         return fid_lib.frechet_distance(*sr.finalize(), *sf.finalize())
 
     ours, torchside = fid_from(ours_r, ours_f), fid_from(torch_r, torch_f)
-    assert abs(ours - torchside) / max(torchside, 1e-9) < 0.02, (ours, torchside)
+    # guard against vacuous agreement: features must be input-sensitive
+    # (a torch-default-init mirror collapses to constants after 94 layers)
+    assert float(np.var(torch_r, axis=0).mean()) > 1e-6
+    assert torchside > 1e-3, torchside
+    assert abs(ours - torchside) / torchside < 0.02, (ours, torchside)
     fid_lib._BACKEND_CACHE.clear()
 
 
