@@ -76,6 +76,7 @@ def test_tar_causality():
         assert diff[j:].max() > 0  # sanity: it does change the future
 
 
+@pytest.mark.slow
 def test_ddpm_sampling_chain_shapes():
     """Tiny DDPM ancestral chain runs under jit and produces finite images."""
     from igm_tpu.config import to_node
@@ -146,6 +147,7 @@ def test_pixelcnn_incremental_logits_match_full():
     np.testing.assert_allclose(np.asarray(inc), np.asarray(full), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pixelcnn_fast_sampler_runs():
     from igm_tpu.config import to_node
     from igm_tpu.models.pixelcnn import PixelCNN
@@ -194,6 +196,7 @@ def test_made_pixel_logits_match_full():
                                    np.asarray(full[:, i]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ddpm_ema_and_ddim():
     from igm_tpu.config import to_node
     from igm_tpu.models.ddpm import DDPM

@@ -5,6 +5,7 @@ Runs run.py as a real subprocess (the exact user entrypoint) on CPU.
 import os
 import subprocess
 import sys
+import pytest
 from pathlib import Path
 
 import numpy as np
@@ -34,6 +35,7 @@ def test_cli_single_run(tmp_path):
     assert (run_dir / "results").exists() or (run_dir / "tensorboard").exists()
 
 
+@pytest.mark.slow
 def test_cli_multirun(tmp_path):
     out = subprocess.run(
         [sys.executable, str(REPO / "run.py"), "-m",
@@ -46,6 +48,7 @@ def test_cli_multirun(tmp_path):
     assert (tmp_path / "sweep" / "1").exists()
 
 
+@pytest.mark.slow
 def test_seed_determinism(config_dir, tmp_path):
     """Same seed -> identical params after training (reference runs are
     non-reproducible by default, SURVEY.md §8; ours are deterministic)."""

@@ -12,6 +12,9 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-step training runs
 
 
 def _train_collect(model, batches, metric_key):

@@ -15,6 +15,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from igm_tpu.config import compose  # noqa: E402
 from igm_tpu.train import train  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full train->val smokes, ~3.5 min total
+
 FAST = [
     "trainer.max_epochs=1",
     "trainer.limit_train_batches=3",

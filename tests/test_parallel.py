@@ -1,5 +1,6 @@
 """Data-parallel mesh tests on the 8-virtual-device CPU backend."""
 import sys
+import pytest
 from pathlib import Path
 
 import numpy as np
@@ -20,12 +21,14 @@ def test_mesh_shapes():
     assert dev[0].sharding.num_devices == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as ge
 
@@ -34,6 +37,7 @@ def test_entry_compiles():
     assert out.shape == args[0].shape
 
 
+@pytest.mark.slow
 def test_dp_grads_match_single_device():
     """One jitted GAN D-step on the 8-device mesh == single-device result."""
     from igm_tpu.config import compose

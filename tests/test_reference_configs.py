@@ -43,6 +43,7 @@ def test_reference_experiments_instantiate(experiment):
     assert hasattr(model, "train_step")
 
 
+@pytest.mark.slow
 def test_reference_tree_trains_end_to_end(tmp_path):
     """Full train loop driven by the reference's own yaml files."""
     from igm_tpu.train import train

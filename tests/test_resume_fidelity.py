@@ -17,6 +17,9 @@ import jax  # noqa: E402
 
 from igm_tpu.config import to_node  # noqa: E402
 from igm_tpu.models.gan import GAN  # noqa: E402
+import pytest
+
+pytestmark = pytest.mark.slow  # two full interrupted runs
 
 
 def _model():

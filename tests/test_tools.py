@@ -7,6 +7,9 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+import pytest
+
+pytestmark = pytest.mark.slow  # subprocess CLI round-trips
 
 
 def _env():
