@@ -55,6 +55,63 @@ class TensorBoardLogger:
             self._writer.close()
 
 
+class WandbLogger:
+    """Optional Weights & Biases logger (parity: the reference's wandb
+    support — requirements.txt:20 + the ``finish`` teardown in
+    src/utils/utils.py:169-184).
+
+    wandb is not a baked-in dependency; when it is absent this logger
+    degrades to a loud no-op so ``logger=wandb`` configs still run.
+    ``finalize`` mirrors the reference's explicit ``wandb.finish()`` (it
+    closes the run so multirun sweeps don't bleed into one another).
+    """
+
+    def __init__(self, project: str = "image-generation-models",
+                 name: str = "", save_dir: str = "wandb/", **kwargs):
+        self._run = None
+        try:
+            import wandb
+        except ImportError:
+            import logging
+            logging.getLogger(__name__).warning(
+                "logger=wandb configured but wandb is not installed — "
+                "logging disabled (pip install wandb to enable)")
+            self._wandb = None
+            return
+        self._wandb = wandb
+        os.makedirs(save_dir, exist_ok=True)
+        self._run = wandb.init(project=project, name=name or None,
+                               dir=save_dir, **kwargs)
+
+    @property
+    def experiment(self):
+        return self._run
+
+    def log_scalar(self, tag: str, value: float, step: int) -> None:
+        if self._run is not None:
+            self._run.log({tag: float(value)}, step=step)
+
+    def log_scalars(self, metrics: Dict[str, float], step: int) -> None:
+        if self._run is not None:
+            clean = {t: float(v) for t, v in metrics.items()
+                     if v is not None and not (isinstance(v, float) and np.isnan(v))}
+            self._run.log(clean, step=step)
+
+    def log_image(self, tag: str, img_hwc: np.ndarray, step: int) -> None:
+        if self._run is not None:
+            self._run.log({tag: self._wandb.Image(np.asarray(img_hwc))},
+                          step=step)
+
+    def log_hyperparams(self, params: Dict[str, object]) -> None:
+        if self._run is not None:
+            self._run.config.update(params, allow_val_change=True)
+
+    def finalize(self) -> None:
+        # reference parity: always finish() so sweep children close cleanly
+        if self._wandb is not None and self._wandb.run is not None:
+            self._wandb.finish()
+
+
 class NoOpLogger(TensorBoardLogger):
     def __init__(self):
         super().__init__()

@@ -29,7 +29,8 @@ class DDPM(BaseModel):
                  beta_schedule: str = "cosine", sample_batch: int = 64,
                  compute_dtype: str = "auto", remat: bool = False,
                  ema_decay: float = 0.0, val_sampler: str = "ancestral",
-                 ddim_steps: int = 50, **kwargs):
+                 ddim_steps: int = 50, pallas_gn: str | bool = "auto",
+                 **kwargs):
         super().__init__(datamodule)
         self.save_hyperparameters(hidden_dim=hidden_dim, timesteps=timesteps,
                                   loss_type=loss_type,
@@ -47,10 +48,16 @@ class DDPM(BaseModel):
             compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
                              else "float32")
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+        # fused GroupNorm+Mish Pallas kernel: measured ~1.5x SLOWER than
+        # XLA's own fusion at DDPM shapes (NOTES.md) so default off;
+        # config knob with one-time env fallback (NOT read at trace time).
+        if pallas_gn == "auto":
+            import os
+            pallas_gn = os.environ.get("IGM_PALLAS_GN", "0") == "1"
         self.modules = ModuleDict(
             denoise=Unet(dim=hidden_dim, channels=self.channels,
                          dim_mults=tuple(dim_mults), dtype=dtype,
-                         remat=bool(remat)))
+                         remat=bool(remat), pallas_gn=bool(pallas_gn)))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams

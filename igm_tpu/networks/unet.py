@@ -83,24 +83,24 @@ class AttnBlock(nn.Module):
 
 
 class GroupNormMish(nn.Module):
-    """GroupNorm(eps=1e-5) + Mish with a flag-switchable fused Pallas path.
+    """GroupNorm(eps=1e-5) + Mish with a config-switchable fused Pallas path.
 
     Param names match flax nn.GroupNorm ("scale"/"bias") so the tree is
-    identical whichever path executes; IGM_PALLAS_GN=1 enables the fused
-    kernel (igm_tpu.ops.pallas_groupnorm) on TPU.
+    identical whichever path executes; ``pallas`` (model config
+    ``pallas_gn: true``, or env IGM_PALLAS_GN=1 read once at model
+    construction — never at trace time) enables the fused kernel
+    (igm_tpu.ops.pallas_groupnorm) on TPU.
     """
     groups: int = 8
     dtype: Any = None
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        import os
-
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        if (os.environ.get("IGM_PALLAS_GN", "0") == "1"
-                and jax.default_backend() == "tpu"):
+        if self.pallas and jax.default_backend() == "tpu":
             from ..ops.pallas_groupnorm import group_norm_mish
             return group_norm_mish(x, scale, bias, self.groups)
         xf = x.astype(jnp.float32)
@@ -127,11 +127,13 @@ class Block(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: Any = None
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = Conv(self.dim_out, 3, 1, 1, dtype=self.dtype)(x)
-        return GroupNormMish(self.groups, dtype=self.dtype)(x)
+        return GroupNormMish(self.groups, dtype=self.dtype,
+                             pallas=self.pallas_gn)(x)
 
 
 class ResnetBlock(nn.Module):
@@ -140,14 +142,15 @@ class ResnetBlock(nn.Module):
     dim_out: int
     use_time_emb: bool = True
     dtype: Any = None
+    pallas_gn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: Optional[jnp.ndarray]) -> jnp.ndarray:
-        h = Block(self.dim_out, dtype=self.dtype)(x)
+        h = Block(self.dim_out, dtype=self.dtype, pallas_gn=self.pallas_gn)(x)
         if self.use_time_emb and t is not None:
             # time-FiLM add in compute dtype (avoid f32 promotion of h)
             h = h + Dense(self.dim_out, dtype=self.dtype)(mish(t))[:, None, None, :]
-        h = Block(self.dim_out, dtype=self.dtype)(h)
+        h = Block(self.dim_out, dtype=self.dtype, pallas_gn=self.pallas_gn)(h)
         if self.dim != self.dim_out:
             x = Conv(self.dim_out, 1, dtype=self.dtype)(x)
         return h + x
@@ -163,6 +166,7 @@ class Unet(nn.Module):
     with_time_emb: bool = True
     dtype: Any = None  # compute dtype for convs (bfloat16 on TPU)
     remat: bool = False  # jax.checkpoint each resnet block (memory <-> FLOPs)
+    pallas_gn: bool = False  # fused GroupNorm+Mish Pallas kernel (TPU only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: jnp.ndarray) -> jnp.ndarray:
@@ -182,25 +186,29 @@ class Unet(nn.Module):
         skips = []
         for ind, (_, dim_out) in enumerate(in_out):
             is_last = ind >= num_res - 1
-            x = RB(x.shape[-1], dim_out, dtype=self.dtype)(x, t)
-            x = RB(dim_out, dim_out, dtype=self.dtype)(x, t)
+            x = RB(x.shape[-1], dim_out, dtype=self.dtype,
+                   pallas_gn=self.pallas_gn)(x, t)
+            x = RB(dim_out, dim_out, dtype=self.dtype,
+                   pallas_gn=self.pallas_gn)(x, t)
             x = AttnBlock(dim_out, dtype=self.dtype)(x)
             skips.append(x)
             if not is_last:
                 x = Conv(dim_out, 3, 2, 1, dtype=self.dtype)(x)  # Downsample
 
         mid = dims[-1]
-        x = RB(mid, mid, dtype=self.dtype)(x, t)
+        x = RB(mid, mid, dtype=self.dtype, pallas_gn=self.pallas_gn)(x, t)
         x = AttnBlock(mid, dtype=self.dtype)(x)
-        x = RB(mid, mid, dtype=self.dtype)(x, t)
+        x = RB(mid, mid, dtype=self.dtype, pallas_gn=self.pallas_gn)(x, t)
 
         for dim_in, dim_out in reversed(in_out[1:]):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = RB(dim_out * 2, dim_in, dtype=self.dtype)(x, t)
-            x = RB(dim_in, dim_in, dtype=self.dtype)(x, t)
+            x = RB(dim_out * 2, dim_in, dtype=self.dtype,
+                   pallas_gn=self.pallas_gn)(x, t)
+            x = RB(dim_in, dim_in, dtype=self.dtype,
+                   pallas_gn=self.pallas_gn)(x, t)
             x = AttnBlock(dim_in, dtype=self.dtype)(x)
             x = ConvTranspose(dim_in, 4, 2, 1, dtype=self.dtype)(x)  # Upsample
 
         out_dim = self.out_dim if self.out_dim is not None else self.channels
-        x = Block(dims[1], dtype=self.dtype)(x)
+        x = Block(dims[1], dtype=self.dtype, pallas_gn=self.pallas_gn)(x)
         return Conv(out_dim, 1)(x).astype(jnp.float32)
