@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Training-step throughput sweep across ALL model families (VERDICT item 4).
+
+One row per family, composed from its own experiment config (real model
+sizes, real per-config batch size), jitted train step timed on synthetic
+uint8 input (input content doesn't change step time; the data pipeline is
+benchmarked separately).  BASELINE target: >= 5x the reference's step
+throughput on every experiment — the reference publishes no numbers, so
+rows are compared against the per-family V100-roofline bracket documented
+in benchmarks/BASELINE_DERIVATION.md.
+
+    python benchmarks/bench_all_families.py [--iters 50] [--out results.json]
+    python benchmarks/bench_all_families.py --families ddpm,vae   # subset
+
+Device-wedge-safe like bench.py: probes the backend in a subprocess first.
+Each family also records FLOPs/step from XLA cost analysis, so the JSON
+carries achieved-FLOPs and MFU per family.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# family -> (overrides, notes).  Flagship dataset per family; batch size
+# comes from the composed config (reference default 128).
+SWEEP = {
+    "vanilla_gan": ["experiment=vanilla_gan/cifar10"],
+    "lsgan":       ["experiment=lsgan/cifar10"],
+    "ggan":        ["experiment=ggan/cifar10"],
+    "speed_gan":   ["experiment=vanilla_gan/cifar10", "model=speed_gan"],
+    "wgan":        ["experiment=wgan/cifar10"],
+    "wgan_gp":     ["experiment=wgan_gp/cifar10"],
+    "infogan":     ["experiment=infogan/mnist"],
+    "bigan":       ["experiment=bigan/cifar10"],
+    "aae":         ["experiment=aae/mnist"],
+    "age":         ["experiment=age/cifar10"],
+    "vae":         ["experiment=vae/cifar10"],
+    "cvae":        ["experiment=cvae/cifar10"],
+    "beta_vae":    ["experiment=beta_vae/celeba"],
+    "factor_vae":  ["experiment=factor_vae/celeba"],
+    "vaegan":      ["experiment=vaegan/cifar10"],
+    "vqvae":       ["experiment=vqvae/cifar10"],
+    "made":        ["experiment=made/mnist"],
+    "pixelcnn":    ["experiment=pixelcnn/cifar10"],
+    "tar":         ["experiment=tar/mnist"],
+    "ddpm":        ["experiment=ddpm/cifar10"],
+}
+
+
+def bench_family(name: str, overrides: list, iters: int, warmup: int) -> dict:
+    import jax
+    import numpy as np
+
+    from igm_tpu.config import compose, instantiate
+
+    cfg = compose(REPO / "configs", [*overrides, "print_config=False"])
+    model = instantiate(cfg.model, datamodule=cfg.datamodule)
+    model.steps_per_epoch = 391
+    batch_size = int(cfg.datamodule.batch_size)
+    h, w = int(cfg.datamodule.height), int(cfg.datamodule.width)
+    c = int(cfg.datamodule.channels)
+
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    step = jax.jit(model.train_step, donate_argnums=0)
+
+    rng = np.random.default_rng(0)
+    batch = (rng.integers(0, 255, (batch_size, h, w, c), dtype=np.uint8),
+             rng.integers(0, 10, (batch_size,)).astype(np.int32))
+    batch = jax.device_put(batch)
+
+    flops = None
+    try:
+        cost = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    # warm every step-index branch (GAN alternation, n_critic ratios, ...)
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    loss_keys = [k for k in metrics if "loss" in k]
+    loss = float(jax.device_get(metrics[loss_keys[0]])) if loss_keys else None
+    row = {
+        "family": name,
+        "experiment": overrides[0].split("=", 1)[1],
+        "batch": batch_size, "image": f"{h}x{w}x{c}",
+        "steps_per_sec": round(iters / dt, 3),
+        "imgs_per_sec": round(batch_size * iters / dt, 1),
+        "loss_finite": loss is None or bool(np.isfinite(loss)),
+    }
+    if flops:
+        row["flops_per_step_g"] = round(flops / 1e9, 2)
+        row["achieved_tflops"] = round(flops * iters / dt / 1e12, 3)
+    return row
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=6)
+    ap.add_argument("--families", default="")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    sys.path.insert(0, str(REPO))
+    import bench as bench_mod  # reuse the wedge-safe probe
+    try:
+        info = bench_mod.probe_device()
+    except Exception as exc:
+        print(json.dumps({"error": f"device probe failed: {exc}"}))
+        sys.exit(2)
+
+    from igm_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    wanted = [f.strip() for f in args.families.split(",") if f.strip()] \
+        or list(SWEEP)
+    dev = jax.devices()[0]
+    results = {"device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+               "iters": args.iters, "rows": []}
+    for fam in wanted:
+        try:
+            row = bench_family(fam, SWEEP[fam], args.iters, args.warmup)
+        except Exception as exc:  # record, keep sweeping
+            row = {"family": fam, "error": f"{type(exc).__name__}: {exc}"[:300]}
+        results["rows"].append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=1))
+        print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
