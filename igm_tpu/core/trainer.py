@@ -139,6 +139,7 @@ class Trainer:
 
         train_step = jax.jit(model.train_step, donate_argnums=0)
         val_step = jax.jit(model.validation_step, static_argnames=("sample",))
+        self._step_flops = None  # filled on first batch via XLA cost analysis
 
         data_rng = np.random.default_rng(self.seed)
         acc = MetricAccumulator()
@@ -164,6 +165,8 @@ class Trainer:
                                           shuffle=True, limit=self.limit_train_batches)
             prefetcher = DevicePrefetcher(batches, self.mesh)
             for batch in prefetcher:
+                if self._step_flops is None:
+                    self._step_flops = self._cost_flops(train_step, state, batch)
                 state, metrics = train_step(state, batch)
                 if pending_metrics is not None:
                     step_no, dev_m = pending_metrics
@@ -187,6 +190,14 @@ class Trainer:
             imgs_per_sec = n_batches * batch_size / max(epoch_time, 1e-9)
             self.logger.log_scalar("perf/imgs_per_sec", imgs_per_sec, self.global_step)
             self.logger.log_scalar("perf/epoch_time_sec", epoch_time, self.global_step)
+            if self._step_flops:
+                achieved = self._step_flops * n_batches / max(epoch_time, 1e-9)
+                self.logger.log_scalar("perf/achieved_tflops",
+                                       achieved / 1e12, self.global_step)
+                peak = _peak_flops_per_device() * jax.device_count()
+                if peak:
+                    self.logger.log_scalar("perf/mfu", achieved / peak,
+                                           self.global_step)
             self.callback_metrics.update(acc.compute())
             log.info("epoch %d done in %.1fs (%.0f imgs/s) %s", epoch, epoch_time,
                      imgs_per_sec,
@@ -272,10 +283,35 @@ class Trainer:
                              int(datamodule.batch_size), self.current_epoch)
         return dict(self.callback_metrics)
 
+    @staticmethod
+    def _cost_flops(jitted, state, batch):
+        """FLOPs/step from XLA cost analysis; 0.0 (not None) on failure so
+        the probe runs once, never per batch."""
+        try:
+            cost = jitted.lower(state, batch).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
     def log(self, tag: str, value: float) -> None:
         """Callback-facing scalar logging (FID uses this)."""
         self.callback_metrics[tag] = float(value)
         self.logger.log_scalar(tag, value, self.global_step)
+
+
+def _peak_flops_per_device() -> float:
+    """bf16 peak FLOP/s for the local accelerator (public figures); 0 when
+    unknown (MFU then isn't logged).  CPU gets a nominal 1 TF/s so the
+    perf/mfu scalar exists in CPU smoke runs too."""
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "").lower()
+    for key, val in (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+                     ("v6e", 918e12), ("trillium", 918e12), ("v4", 275e12)):
+        if key in kind:
+            return val
+    return 1e12 if dev.platform == "cpu" else 0.0
 
 
 def _np(x):
