@@ -174,7 +174,12 @@ class Trainer:
                     acc.update(host_m)
                     self.logger.log_scalars(host_m, step_no)
                     pending_metrics = None
-                if self.global_step % self.log_every_n_steps == 0:
+                # Sample TWO consecutive steps per logging window: models
+                # with step-parity phase alternation (GAN G/D via lax.cond)
+                # emit each phase's metrics as NaN on the other phase's
+                # steps, and an even log_every_n_steps would otherwise
+                # never observe the odd-parity phase (d_loss invisible).
+                if self.global_step % self.log_every_n_steps < 2:
                     pending_metrics = (self.global_step, metrics)
                 self.global_step += 1
                 n_batches += 1

@@ -118,3 +118,21 @@ def test_checkpoint_resume(config_dir, tmp_path):
         train(cfg2)
     finally:
         os.chdir(cwd)
+
+
+def test_phase_alternating_metrics_visible_with_even_log_stride(config_dir, tmp_path):
+    """Even log_every_n_steps must still observe BOTH GAN phases: the
+    trainer samples two consecutive steps per window (d_loss lives on odd
+    steps under the lax.cond alternation and was invisible before)."""
+    import glob
+    import re
+
+    _run(config_dir, tmp_path, "vanilla_gan/mnist_mlp",
+         extra=["trainer.limit_train_batches=8", "trainer.log_every_n_steps=4"])
+    tags = set()
+    for f in glob.glob(str(tmp_path / "logs/runs/**/events*"), recursive=True):
+        with open(f, "rb") as fh:
+            tags |= {m.group().decode()
+                     for m in re.finditer(rb"train_loss/\w+", fh.read())}
+    assert "train_loss/g_loss" in tags
+    assert "train_loss/d_loss" in tags
