@@ -130,7 +130,7 @@ def test_phase_alternating_metrics_visible_with_even_log_stride(config_dir, tmp_
     _run(config_dir, tmp_path, "vanilla_gan/mnist_mlp",
          extra=["trainer.limit_train_batches=8", "trainer.log_every_n_steps=4"])
     tags = set()
-    for f in glob.glob(str(tmp_path / "logs/runs/**/events*"), recursive=True):
+    for f in glob.glob(str(tmp_path / "**" / "events*"), recursive=True):
         with open(f, "rb") as fh:
             tags |= {m.group().decode()
                      for m in re.finditer(rb"train_loss/\w+", fh.read())}
