@@ -181,8 +181,13 @@ class Trainer:
                 # never observe the odd-parity phase (d_loss invisible).
                 if self.global_step % self.log_every_n_steps < 2:
                     pending_metrics = (self.global_step, metrics)
+                last_metrics = metrics
                 self.global_step += 1
                 n_batches += 1
+            if pending_metrics is None and n_batches and not acc.compute():
+                # short epochs (steps_per_epoch < log stride) would otherwise
+                # sample nothing and show stale epoch summaries
+                pending_metrics = (self.global_step - 1, last_metrics)
             if pending_metrics is not None:  # flush the epoch's last sample
                 step_no, dev_m = pending_metrics
                 host_m = {k: float(v) for k, v in jax.device_get(dev_m).items()}
