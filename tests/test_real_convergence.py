@@ -1,0 +1,86 @@
+"""Convergence thresholds on REAL data (VERDICT item 8).
+
+Round 1's convergence tests were monotonicity tripwires on synthetic noise;
+these assert absolute metric thresholds after a fixed budget on the real
+digit datasets in data/ (tools/make_real_datasets.py — genuine handwritten
+scans through the real parsers; synthetic fallback disabled).
+
+Thresholds are calibrated from archived runs in benchmarks/real_runs/
+(e.g. VAE: val log p(x|z) hit -776 by epoch 3 and -745 by epoch 30 on this
+exact dataset) with ~3x headroom against seed noise.
+"""
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from igm_tpu.config import compose  # noqa: E402
+from igm_tpu.train import train  # noqa: E402
+
+REPO = Path(__file__).resolve().parent.parent
+
+pytestmark = pytest.mark.slow  # real multi-epoch training runs
+
+
+def _train_real(config_dir, tmp_path, experiment, epochs, extra=()):
+    overrides = [
+        f"experiment={experiment}",
+        f"data_dir={REPO / 'data'}",
+        f"trainer.max_epochs={epochs}",
+        "trainer.enable_checkpointing=False",
+        "trainer.log_every_n_steps=1",
+        "print_config=False",
+        "seed=7",
+        *extra,
+    ]
+    cfg = compose(config_dir, overrides)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    os.environ["IGM_SYNTHETIC_DATA"] = "0"
+    try:
+        train(cfg)
+        from igm_tpu.core import trainer as trainer_mod  # for inspection
+        return cfg
+    finally:
+        os.environ["IGM_SYNTHETIC_DATA"] = "1"
+        os.chdir(cwd)
+
+
+def _final_scalar(tmp_path, tag):
+    import glob
+    import struct
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    vals = []
+    for d in glob.glob(str(tmp_path / "**" / "events*"), recursive=True):
+        ea = EventAccumulator(str(Path(d).parent))
+        ea.Reload()
+        if tag in ea.Tags()["scalars"]:
+            vals += [(s.step, float(s.value)) for s in ea.Scalars(tag)]
+    assert vals, f"tag {tag} never logged"
+    return sorted(vals)[-1][1]
+
+
+def test_vae_real_mnist_elbo_threshold(config_dir, tmp_path):
+    """VAE must reach val log p(x|z) > -800 within 6 epochs on real digits
+    (archived run: -776 at epoch 3; untrained: ~-900)."""
+    _train_real(config_dir, tmp_path, "vae/mnist_mlp", epochs=6)
+    final = _final_scalar(tmp_path, "val_log/log_p_x_of_z")
+    assert final > -800.0, final
+
+
+def test_gan_real_mnist_both_losses_finite(config_dir, tmp_path):
+    """Adversarial training on real digits: both G and D losses logged,
+    finite, and D-loss departs from its untrained value (learning signal
+    flows through both optimizers)."""
+    import math
+    _train_real(config_dir, tmp_path, "vanilla_gan/mnist_mlp", epochs=4)
+    g = _final_scalar(tmp_path, "train_loss/g_loss")
+    d = _final_scalar(tmp_path, "train_loss/d_loss")
+    assert math.isfinite(g) and math.isfinite(d)
+    # untrained D on +-1-normalized data starts at ln(2)~0.693; after 44
+    # steps it must have moved (any direction — adversarial, not monotone)
+    assert abs(d - 0.693) > 0.02, d
