@@ -27,6 +27,11 @@ echo "[$(stamp)] 3/4 sampling bench (ancestral + ddim)"
 python benchmarks/bench_sampling.py > "$OUT/sampling_round2.json" 2>/dev/null
 echo "rc=$? $(cat "$OUT/sampling_round2.json" 2>/dev/null | head -2)"
 
+echo "[$(stamp)] 3.5/4 headline batch scan (MFU vs batch)"
+for B in 128 256 512 1024; do
+  IGM_BENCH_BATCH=$B python bench.py 2>/dev/null
+done | tee "$OUT/batch_scan_round2.jsonl"
+
 echo "[$(stamp)] 4/4 real-data DDPM training (digit-CIFAR, FID-wired)"
 RUN_DIR=$(mktemp -d)
 (cd "$RUN_DIR" && IGM_SYNTHETIC_DATA=0 python "$OLDPWD/run.py" \

@@ -103,3 +103,21 @@ def test_celeba_jpeg_partition_parser_real_bytes(tmp_path):
     dm2.setup()
     assert (dm2.train_arrays()[0] == tr_x).all()
     assert dm._cache_path("train").exists()
+
+
+def test_transform_grayscale_and_resize_applied():
+    """Reference get_transform parity (src/datamodules/base.py:37-71):
+    grayscale converts RGB->L (ITU-R 601) and resize honours the configured
+    geometry — e.g. running the CIFAR parser under an MNIST-shaped config."""
+    from igm_tpu.data.cifar10 import CIFAR10DataModule
+    dm = CIFAR10DataModule(data_dir=str(DATA), width=28, height=28,
+                           channels=1, batch_size=8,
+                           transforms={"grayscale": True, "convert": True})
+    dm.setup()
+    imgs, labels = dm.train_arrays()
+    assert imgs.shape[1:] == (28, 28, 1)
+    assert imgs.dtype == np.uint8
+    # luminance of an (r==g==b) gray image equals the channel value
+    from igm_tpu.data.cifar10 import _load_batch
+    raw, _ = _load_batch(DATA / "cifar-10-batches-py" / "data_batch_1")
+    assert abs(int(imgs[0].mean()) - int(raw[0, ..., 0].mean())) <= 2
