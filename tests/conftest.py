@@ -33,3 +33,12 @@ REPO = Path(__file__).resolve().parent.parent
 @pytest.fixture(scope="session")
 def config_dir() -> Path:
     return REPO / "configs"
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _ensure_real_datasets():
+    """data/ is generated (gitignored) — materialise it once per session so
+    the real-bytes parser and real-data convergence tests always have the
+    deterministic packaged datasets (igm_tpu/data/packaged.py)."""
+    from igm_tpu.data import packaged
+    packaged.ensure(REPO / "data")
