@@ -40,6 +40,7 @@ class Trainer:
         limit_val_batches: Optional[int] = None,
         fast_dev_run: bool = False,
         seed: int = 42,
+        steps_per_execution: int = 1,
         mesh: Optional[Dict[str, int]] = None,
         ckpt_every_n_epochs: int = 1,
         resume: Optional[str] = None,
@@ -56,6 +57,7 @@ class Trainer:
         self.limit_val_batches = limit_val_batches
         self.fast_dev_run = bool(fast_dev_run)
         self.seed = int(seed) if seed is not None else 0
+        self.steps_per_execution = max(1, int(steps_per_execution))
         self.ckpt_every_n_epochs = int(ckpt_every_n_epochs)
         self.resume = resume
         self.callbacks = list(callbacks)
@@ -65,10 +67,13 @@ class Trainer:
 
         mesh_cfg = mesh or {}
         data_axis = mesh_cfg.get("data", -1) if isinstance(mesh_cfg, dict) else -1
-        if devices not in (None, -1) and int(devices) > 0 and data_axis in (-1, None):
+        model_axis = mesh_cfg.get("model", 1) if isinstance(mesh_cfg, dict) else 1
+        if (devices not in (None, -1) and int(devices) > 0
+                and data_axis in (-1, None) and int(model_axis or 1) == 1):
             # Lightning `devices: 1` semantics: cap the mesh size.
             data_axis = -1 if int(devices) >= len(jax.devices()) else int(devices)
-        self.mesh = mesh_lib.make_mesh(data=data_axis if data_axis else 1)
+        self.mesh = mesh_lib.make_mesh(data=data_axis if data_axis else 1,
+                                       model=model_axis)
 
         if self.fast_dev_run:
             self.max_epochs = 1
@@ -125,7 +130,7 @@ class Trainer:
         # jit the init: eager init dispatches hundreds of tiny ops, which is
         # pathological over a remote-device link (axon tunnel)
         state = jax.jit(model.init_state)(init_rng)
-        state = mesh_lib.replicate(self.mesh, state)
+        state = mesh_lib.shard_state(self.mesh, state)
 
         if self.enable_checkpointing:
             from .checkpoint import CheckpointManager
@@ -134,10 +139,17 @@ class Trainer:
                 self.ckpt_manager = CheckpointManager(str(self.resume))
             if self.resume and self.ckpt_manager.latest_step() is not None:
                 state = self.ckpt_manager.restore(state)
-                state = mesh_lib.replicate(self.mesh, state)
+                state = mesh_lib.shard_state(self.mesh, state)
                 log.info("resumed from step %s", int(state.step))
 
-        train_step = jax.jit(model.train_step, donate_argnums=0)
+        # steps_per_execution > 1: K train steps per device dispatch via
+        # lax.scan (models/base.py train_step_n) — amortises host dispatch
+        # for small/fast models; metrics come back phase-merged (nanmean).
+        k_exec = self.steps_per_execution
+        if k_exec > 1:
+            train_step = jax.jit(model.train_step_n, donate_argnums=0)
+        else:
+            train_step = jax.jit(model.train_step, donate_argnums=0)
         val_step = jax.jit(model.validation_step, static_argnames=("sample",))
         self._step_flops = None  # filled on first batch via XLA cost analysis
 
@@ -160,13 +172,22 @@ class Trainer:
             acc.reset()
             epoch_t0 = time.time()
             n_batches = 0
-            from ..data.loader import DevicePrefetcher
+            from ..data.loader import DevicePrefetcher, chunk_batches
             batches = self._epoch_batches(train_arrays, batch_size, data_rng,
                                           shuffle=True, limit=self.limit_train_batches)
-            prefetcher = DevicePrefetcher(batches, self.mesh)
+            if k_exec > 1:
+                batches = chunk_batches(batches, k_exec)
+                sharding = mesh_lib.chunk_batch_sharding(self.mesh)
+            else:
+                sharding = None
+            prefetcher = DevicePrefetcher(batches, self.mesh, sharding=sharding)
+            n_exec = 0
             for batch in prefetcher:
+                k_this = len(batch[0]) if k_exec > 1 else 1
                 if self._step_flops is None:
-                    self._step_flops = self._cost_flops(train_step, state, batch)
+                    # per-STEP flops: the chained computation covers k steps
+                    self._step_flops = (
+                        self._cost_flops(train_step, state, batch) / k_this)
                 state, metrics = train_step(state, batch)
                 if pending_metrics is not None:
                     step_no, dev_m = pending_metrics
@@ -179,11 +200,14 @@ class Trainer:
                 # emit each phase's metrics as NaN on the other phase's
                 # steps, and an even log_every_n_steps would otherwise
                 # never observe the odd-parity phase (d_loss invisible).
-                if self.global_step % self.log_every_n_steps < 2:
+                # (Chained execution merges phases via nanmean, so one
+                # sample per window suffices there.)
+                if self.global_step % self.log_every_n_steps < max(2, k_this):
                     pending_metrics = (self.global_step, metrics)
                 last_metrics = metrics
-                self.global_step += 1
-                n_batches += 1
+                self.global_step += k_this
+                n_batches += k_this
+                n_exec += 1
             if pending_metrics is None and n_batches and not acc.compute():
                 # short epochs (steps_per_epoch < log stride) would otherwise
                 # sample nothing and show stale epoch summaries

@@ -1,0 +1,106 @@
+"""Step chaining (steps_per_execution): K train steps per device dispatch.
+
+The chained path must be a pure dispatch optimisation — same parameter
+trajectory as K sequential single steps — and its nanmean metric merge must
+surface BOTH phases of phase-alternating models in one window.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+from igm_tpu.config import to_node  # noqa: E402
+
+
+def _vae(latent=8):
+    from igm_tpu.models.vae import VAE
+    dm = to_node({"width": 8, "height": 8, "channels": 1,
+                  "transforms": {"convert": True, "normalize": True}})
+    enc = to_node({"_target_": "igm_tpu.networks.basic.MLPEncoder",
+                   "hidden_dims": [32], "width": 8, "height": 8})
+    dec = to_node({"_target_": "igm_tpu.networks.basic.MLPDecoder",
+                   "hidden_dims": [32], "width": 8, "height": 8,
+                   "output_act": "tanh"})
+    model = VAE(datamodule=dm, encoder=enc, decoder=dec, latent_dim=latent,
+                lr=1e-3)
+    model.steps_per_epoch = 100
+    return model
+
+
+def _batches(k, batch=16, shape=(8, 8, 1), seed=0):
+    rng = np.random.default_rng(seed)
+    return [(rng.integers(0, 255, (batch, *shape), dtype=np.uint8),
+             np.zeros((batch,), np.int32)) for _ in range(k)]
+
+
+def test_chained_matches_sequential():
+    model = _vae()
+    state0 = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    batches = _batches(4)
+
+    s_seq = state0
+    step = jax.jit(model.train_step)
+    for b in batches:
+        s_seq, _ = step(s_seq, b)
+
+    stacked = tuple(np.stack([b[j] for b in batches]) for j in range(2))
+    s_chn, metrics = jax.jit(model.train_step_n)(state0, stacked)
+
+    assert int(s_chn.step) == int(s_seq.step) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s_seq.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s_chn.params))):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+    assert np.isfinite(float(metrics["train_log/elbo"]))
+
+
+def test_chained_gan_metrics_cover_both_phases():
+    from igm_tpu.models.gan import GAN
+    dm = to_node({"width": 8, "height": 8, "channels": 1,
+                  "transforms": {"convert": True, "normalize": True}})
+    net_g = to_node({"_target_": "igm_tpu.networks.basic.MLPDecoder",
+                     "hidden_dims": [32], "width": 8, "height": 8,
+                     "output_act": "tanh"})
+    net_d = to_node({"_target_": "igm_tpu.networks.basic.MLPEncoder",
+                     "hidden_dims": [32], "width": 8, "height": 8})
+    model = GAN(datamodule=dm, netG=net_g, netD=net_d, latent_dim=8)
+    model.steps_per_epoch = 100
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    stacked = tuple(np.stack([b[j] for b in _batches(4)]) for j in range(2))
+    _, metrics = jax.jit(model.train_step_n)(state, stacked)
+    # single-step metrics NaN-mask the other phase; the chained nanmean
+    # must report BOTH g and d losses finite from one dispatch
+    assert np.isfinite(float(metrics["train_loss/g_loss"]))
+    assert np.isfinite(float(metrics["train_loss/d_loss"]))
+
+
+def test_chunk_batches_shapes_and_tail():
+    from igm_tpu.data.loader import chunk_batches
+    chunks = list(chunk_batches(iter(_batches(5)), 2))
+    assert [c[0].shape[0] for c in chunks] == [2, 2, 1]
+    assert chunks[0][0].shape == (2, 16, 8, 8, 1)
+    assert chunks[0][1].shape == (2, 16)
+
+
+@pytest.mark.slow
+def test_trainer_steps_per_execution_e2e(config_dir, tmp_path):
+    import os
+    from igm_tpu.config import compose
+    from igm_tpu.train import train
+    cfg = compose(config_dir, [
+        "experiment=vae/mnist_mlp", "trainer.max_epochs=1",
+        "trainer.limit_train_batches=5", "trainer.limit_val_batches=1",
+        "trainer.steps_per_execution=2", "trainer.log_every_n_steps=2",
+        "trainer.enable_checkpointing=False", "datamodule.batch_size=16",
+        "print_config=False",
+    ])
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        train(cfg)
+    finally:
+        os.chdir(cwd)

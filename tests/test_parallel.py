@@ -73,3 +73,55 @@ def test_dp_grads_match_single_device():
     leaves8 = jax.tree_util.tree_leaves(p8)
     for a, b in zip(leaves1, leaves8):
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_fsdp_spec_shards_largest_divisible_axis():
+    from igm_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    # conv kernel (3,3,64,128): largest divisible axis is out-features
+    spec = mesh_lib._fsdp_spec(mesh, np.zeros((3, 3, 64, 128)))
+    assert tuple(spec) == (None, None, None, "model")
+    # tiny bias stays replicated
+    assert tuple(mesh_lib._fsdp_spec(mesh, np.zeros((64,)))) == ()
+    # odd-size axes that don't divide stay replicated
+    assert tuple(mesh_lib._fsdp_spec(mesh, np.zeros((7, 11) * 4))) == ()
+
+
+@pytest.mark.slow
+def test_fsdp_matches_single_device():
+    """FSDP (2-D data*model mesh, sharded params+moments) is a memory layout,
+    not a math change: one VAE train step must match the single-device step."""
+    from igm_tpu.config import compose
+    from igm_tpu.config.instantiate import instantiate
+    from igm_tpu.parallel import mesh as mesh_lib
+
+    cfg = compose(Path(__file__).resolve().parent.parent / "configs",
+                  ["experiment=vae/mnist_mlp", "print_config=False"])
+    model = instantiate(cfg.model, datamodule=cfg.datamodule)
+    model.steps_per_epoch = 10
+    state = model.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    batch = (rng.integers(0, 255, (16, 28, 28, 1), dtype=np.uint8),
+             np.zeros((16,), np.int32))
+
+    s1 = jax.device_put(state, jax.devices()[0])
+    b1 = jax.device_put(batch, jax.devices()[0])
+    s1out, m1 = jax.jit(model.train_step)(s1, b1)
+
+    mesh = mesh_lib.make_mesh(model=2)  # (data=4, model=2)
+    sf = mesh_lib.shard_state(mesh, state)
+    # at least one large leaf must actually be sharded over the model axis
+    shardings = [x.sharding.spec for x in jax.tree_util.tree_leaves(sf.params)
+                 if hasattr(x, "sharding") and x.ndim >= 2]
+    assert any("model" in tuple(s) for s in shardings), shardings
+    bf = mesh_lib.shard_batch(mesh, batch)
+    sfout, mf = jax.jit(model.train_step)(sf, bf)
+
+    np.testing.assert_allclose(
+        float(m1["train_log/elbo"]), float(mf["train_log/elbo"]), rtol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1out.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(sfout.params))):
+        np.testing.assert_allclose(a, b, atol=2e-4)
