@@ -95,15 +95,19 @@ def bench_family(name: str, overrides: list, iters: int, warmup: int) -> dict:
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    loss_keys = [k for k in metrics if "loss" in k]
-    loss = float(jax.device_get(metrics[loss_keys[0]])) if loss_keys else None
+    # Phase-alternating models (GAN G/D, AGE e/g) emit the OTHER phase's
+    # metrics as NaN sentinels on purpose, so "finite" means: at least one
+    # loss metric from the final step's phase is finite.
+    loss_vals = [float(jax.device_get(metrics[k])) for k in metrics
+                 if "loss" in k]
+    finite = [v for v in loss_vals if np.isfinite(v)]
     row = {
         "family": name,
         "experiment": overrides[0].split("=", 1)[1],
         "batch": batch_size, "image": f"{h}x{w}x{c}",
         "steps_per_sec": round(iters / dt, 3),
         "imgs_per_sec": round(batch_size * iters / dt, 1),
-        "loss_finite": loss is None or bool(np.isfinite(loss)),
+        "loss_finite": bool(finite) or not loss_vals,
     }
     if flops:
         row["flops_per_step_g"] = round(flops / 1e9, 2)
