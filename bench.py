@@ -157,14 +157,21 @@ def main() -> None:
     except Exception as exc:
         sys.stderr.write(f"[bench] cost analysis unavailable: {exc}\n")
 
+    # HARD completion fence: device_get of a param leaf.  block_until_ready
+    # over the axon tunnel can return before donated-state work has executed
+    # (see benchmarks/bench_all_families.py); a host transfer of a computed
+    # leaf cannot.
+    def fence(st):
+        return jax.device_get(jax.tree_util.tree_leaves(st.params)[0])
+
     for _ in range(WARMUP):
         state, metrics = step(state, dev_batch)
-    jax.block_until_ready(state.params)
+    fence(state)
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, dev_batch)
-    jax.block_until_ready(state.params)
+    fence(state)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt

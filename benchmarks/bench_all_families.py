@@ -54,7 +54,8 @@ SWEEP = {
 }
 
 
-def bench_family(name: str, overrides: list, iters: int, warmup: int) -> dict:
+def bench_family(name: str, overrides: list, iters: int, warmup: int,
+                 chain: int = 1) -> dict:
     import jax
     import numpy as np
 
@@ -68,11 +69,18 @@ def bench_family(name: str, overrides: list, iters: int, warmup: int) -> dict:
     c = int(cfg.datamodule.channels)
 
     state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
-    step = jax.jit(model.train_step, donate_argnums=0)
+    # chain > 1: K steps per dispatch (trainer steps_per_execution path) —
+    # measures device throughput with host dispatch amortised
+    if chain > 1:
+        step = jax.jit(model.train_step_n, donate_argnums=0)
+    else:
+        step = jax.jit(model.train_step, donate_argnums=0)
 
     rng = np.random.default_rng(0)
-    batch = (rng.integers(0, 255, (batch_size, h, w, c), dtype=np.uint8),
-             rng.integers(0, 10, (batch_size,)).astype(np.int32))
+    lead = (chain,) if chain > 1 else ()
+    batch = (rng.integers(0, 255, (*lead, batch_size, h, w, c),
+                          dtype=np.uint8),
+             rng.integers(0, 10, (*lead, batch_size)).astype(np.int32))
     batch = jax.device_put(batch)
 
     flops = None
@@ -84,15 +92,23 @@ def bench_family(name: str, overrides: list, iters: int, warmup: int) -> dict:
     except Exception:
         pass
 
+    # HARD completion fence: device_get of a param leaf.  block_until_ready
+    # over the axon tunnel can return before the donated-state chain has
+    # actually executed (measured: the first model in a process then "runs"
+    # at host-dispatch rate, ~2400 steps/s, while later models absorb the
+    # backlog) — a host transfer of a computed leaf cannot lie.
+    def fence(st):
+        return jax.device_get(jax.tree_util.tree_leaves(st.params)[0])
+
     # warm every step-index branch (GAN alternation, n_critic ratios, ...)
     for _ in range(warmup):
         state, metrics = step(state, batch)
-    jax.block_until_ready(state.params)
+    fence(state)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch)
-    jax.block_until_ready(state.params)
+    fence(state)
     dt = time.perf_counter() - t0
 
     # Phase-alternating models (GAN G/D, AGE e/g) emit the OTHER phase's
@@ -101,17 +117,22 @@ def bench_family(name: str, overrides: list, iters: int, warmup: int) -> dict:
     loss_vals = [float(jax.device_get(metrics[k])) for k in metrics
                  if "loss" in k]
     finite = [v for v in loss_vals if np.isfinite(v)]
+    n_steps = iters * chain
     row = {
         "family": name,
         "experiment": overrides[0].split("=", 1)[1],
         "batch": batch_size, "image": f"{h}x{w}x{c}",
-        "steps_per_sec": round(iters / dt, 3),
-        "imgs_per_sec": round(batch_size * iters / dt, 1),
+        "steps_per_sec": round(n_steps / dt, 3),
+        "imgs_per_sec": round(batch_size * n_steps / dt, 1),
         "loss_finite": bool(finite) or not loss_vals,
     }
+    if chain > 1:
+        row["chain"] = chain
     if flops:
+        # XLA cost analysis counts a lax.scan body ONCE (trip count is not
+        # folded in), so `flops` is per-STEP for both paths
         row["flops_per_step_g"] = round(flops / 1e9, 2)
-        row["achieved_tflops"] = round(flops * iters / dt / 1e12, 3)
+        row["achieved_tflops"] = round(flops * n_steps / dt / 1e12, 3)
     return row
 
 
@@ -119,8 +140,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=6)
+    ap.add_argument("--chain", type=int, default=1,
+                    help="steps per dispatch (steps_per_execution path)")
     ap.add_argument("--families", default="")
     ap.add_argument("--out", default="")
+    ap.add_argument("--no-isolate", dest="isolate", action="store_false",
+                    help="run families in-process (default: subprocess each)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -144,10 +169,24 @@ def main() -> None:
         or list(SWEEP)
     dev = jax.devices()[0]
     results = {"device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
-               "iters": args.iters, "rows": []}
+               "iters": args.iters, "chain": args.chain, "rows": []}
     for fam in wanted:
         try:
-            row = bench_family(fam, SWEEP[fam], args.iters, args.warmup)
+            if args.isolate and len(wanted) > 1:
+                # one process per family: device-queue state never leaks
+                # between measurements (compile cache keeps this cheap)
+                import subprocess
+                cmd = [sys.executable, __file__, "--families", fam,
+                       "--iters", str(args.iters), "--warmup",
+                       str(args.warmup), "--chain", str(args.chain),
+                       "--no-isolate"]
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=1800)
+                line = proc.stdout.strip().splitlines()[-1]
+                row = json.loads(line)
+            else:
+                row = bench_family(fam, SWEEP[fam], args.iters, args.warmup,
+                                   chain=args.chain)
         except Exception as exc:  # record, keep sweeping
             row = {"family": fam, "error": f"{type(exc).__name__}: {exc}"[:300]}
         results["rows"].append(row)
