@@ -184,6 +184,7 @@ def main() -> None:
                                       timeout=1800)
                 line = proc.stdout.strip().splitlines()[-1]
                 row = json.loads(line)
+                row.setdefault("family", fam)
             else:
                 row = bench_family(fam, SWEEP[fam], args.iters, args.warmup,
                                    chain=args.chain)
