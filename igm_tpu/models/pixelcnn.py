@@ -387,7 +387,12 @@ class PixelCNN(BaseModel):
 
     def _bpd(self, logits, targets):
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        # one-hot contraction, NOT take_along_axis: the gather's fwd+bwd pair
+        # with the primal loss kept live (value_and_grad inside grad_step)
+        # crashes the TPU compiler at this 5-D (B,H,W,C,256) shape; the
+        # exact-equivalent one-hot sum fuses into the softmax reduction
+        nll = -(logp * jax.nn.one_hot(targets, logp.shape[-1],
+                                      dtype=logp.dtype)).sum(-1)
         return nll.reshape(nll.shape[0], -1).mean(axis=1).mean() / LOG2
 
     def train_step(self, state: TrainState, batch):

@@ -72,6 +72,16 @@ def test_vae_real_mnist_elbo_threshold(config_dir, tmp_path):
     assert final > -800.0, final
 
 
+def test_made_real_mnist_bpd_threshold(config_dir, tmp_path):
+    """Autoregressive density on real digits: untrained 256-way softmax is
+    8 bpd exactly; after 4 epochs MADE must be under 5 bpd (archived runs
+    reach ~3; the digit scans have large constant-black regions)."""
+    _train_real(config_dir, tmp_path, "made/mnist", epochs=4,
+                extra=["model.hidden_dim=256"])
+    final = _final_scalar(tmp_path, "val_bpd")
+    assert final < 5.0, final
+
+
 def test_gan_real_mnist_both_losses_finite(config_dir, tmp_path):
     """Adversarial training on real digits: both G and D losses logged,
     finite, and D-loss departs from its untrained value (learning signal
