@@ -56,41 +56,120 @@ def build_masks(in_dim: int, hidden_dim: int, n_layer: int, seed: int = 0):
     return masks, out_small
 
 
+def _zeroed_masked_init(base_init, mask_t_fn):
+    """Init wrapper that zeroes the masked entries once, at init time.
+
+    This establishes the invariant ``kernel * mask == kernel`` that lets the
+    forward pass read the kernel DIRECTLY: re-materialising the masked
+    kernel every step is pure HBM traffic (the output layer's expanded
+    kernel is 1024x200704 f32 = 822 MB at the reference's MNIST sizes, and
+    the step is memory-bound).  ``_grad_mask`` below keeps the invariant
+    through training."""
+    def init(key, shape, dtype=jnp.float32):
+        return base_init(key, shape, dtype) * mask_t_fn().astype(dtype)
+    return init
+
+
+@jax.custom_vjp
+def _grad_mask_hidden(kernel, mask_t):
+    """Identity on the kernel; cotangent is masked.  With zeroed-masked
+    init this is exactly equivalent to ``kernel * mask`` in the forward:
+    masked grads stay 0, so adam moments stay 0, so masked weights stay 0."""
+    return kernel
+
+
+def _gmh_fwd(kernel, mask_t):
+    return kernel, mask_t
+
+
+def _gmh_bwd(res, g):
+    mask_t = res
+    return (g.astype(jnp.float32) * mask_t, jnp.zeros_like(mask_t))
+
+
+_grad_mask_hidden.defvjp(_gmh_fwd, _gmh_bwd)
+
+
+@jax.custom_vjp
+def _grad_mask_out(kernel, mask_small):
+    """Same trick for the (hidden, in_dim*n_class) output kernel, but the
+    cotangent multiply broadcasts the COMPACT (in_dim, hidden) mask — the
+    expanded mask never exists after init."""
+    return kernel
+
+
+def _gmo_fwd(kernel, mask_small):
+    return kernel, (mask_small, kernel.shape)
+
+
+def _gmo_bwd(res, g):
+    mask_small, (hidden, out_f) = res
+    in_dim = mask_small.shape[0]
+    n_class = out_f // in_dim
+    g3 = g.astype(jnp.float32).reshape(hidden, in_dim, n_class)
+    gm = (g3 * mask_small.T[:, :, None]).reshape(hidden, out_f)
+    return (gm, jnp.zeros_like(mask_small))
+
+
+_grad_mask_out.defvjp(_gmo_fwd, _gmo_bwd)
+
+
 class MaskedLinear(nn.Module):
     mask: Any  # (out, in) numpy array, static
+    dtype: Any = None
 
     def setup(self):
         out_f, in_f = self.mask.shape
-        self.kernel = self.param("kernel", torch_kernel_init, (in_f, out_f))
+        self.kernel = self.param(
+            "kernel",
+            _zeroed_masked_init(torch_kernel_init,
+                                lambda: jnp.asarray(self.mask).T),
+            (in_f, out_f))
         self.bias = self.param("bias", make_bias_init(in_f), (out_f,))
 
     def __call__(self, x):
-        return x @ (self.kernel * jnp.asarray(self.mask).T) + self.bias
-
-
+        w = _grad_mask_hidden(self.kernel, jnp.asarray(self.mask).T)
+        if self.dtype is not None:
+            y = jax.lax.dot(x.astype(self.dtype), w.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+        else:
+            y = x @ w
+        return y + self.bias
 
 
 class MaskedPixelOutput(nn.Module):
     """The hidden -> (in_dim x n_class) output layer with the mask kept in
-    its compact (in_dim, hidden) form; the masked kernel is a TRANSIENT
-    (never an HLO constant, never a persistent buffer)."""
+    its compact (in_dim, hidden) form.  The kernel's masked entries are
+    zeroed at init and kept zero by ``_grad_mask_out``; the forward is a
+    plain (unmasked) GEMM — the expanded masked kernel is never
+    materialised (822 MB/step of HBM traffic at reference sizes)."""
     mask_small: Any  # (in_dim, hidden) numpy
     n_class: int
+    dtype: Any = None
 
     def setup(self):
         in_dim, hidden = self.mask_small.shape
+
+        def mask_t_expanded():
+            m = jnp.asarray(self.mask_small)          # (in_dim, hidden)
+            return jnp.repeat(m.T, self.n_class, axis=1)  # (hidden, in*nc)
+
         self.kernel = self.param(
-            "kernel", torch_kernel_init, (hidden, in_dim * self.n_class))
+            "kernel", _zeroed_masked_init(torch_kernel_init, mask_t_expanded),
+            (hidden, in_dim * self.n_class))
         self.bias = self.param(
             "bias", make_bias_init(hidden), (in_dim * self.n_class,))
 
     def __call__(self, x):
         in_dim, hidden = self.mask_small.shape
-        m = jnp.asarray(self.mask_small)                     # (in_dim, hidden)
-        w = self.kernel.reshape(hidden, in_dim, self.n_class)
-        wm = w * m.T[:, :, None]
-        y = jnp.einsum("nh,hia->nia", x, wm)
-        return y + self.bias.reshape(in_dim, self.n_class)
+        w = _grad_mask_out(self.kernel, jnp.asarray(self.mask_small))
+        if self.dtype is not None:
+            y = jax.lax.dot(x.astype(self.dtype), w.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+        else:
+            y = x @ w
+        return (y.reshape(x.shape[0], in_dim, self.n_class)
+                + self.bias.reshape(in_dim, self.n_class))
 
     def pixel(self, x, i):
         """(N, hidden), pixel index -> (N, n_class) logits for pixel i."""
@@ -110,12 +189,15 @@ class MADENet(nn.Module):
     n_class: int
     n_layer: int
     mask_seed: int = 0
+    dtype: Any = None
 
     def setup(self):
         hidden_masks, out_small = build_masks(
             self.in_dim, self.hidden_dim, self.n_layer, self.mask_seed)
-        self.layers = [MaskedLinear(m) for m in hidden_masks]
-        self.out_layer = MaskedPixelOutput(out_small, self.n_class)
+        self.layers = [MaskedLinear(m, dtype=self.dtype)
+                       for m in hidden_masks]
+        self.out_layer = MaskedPixelOutput(out_small, self.n_class,
+                                           dtype=self.dtype)
 
     def __call__(self, x_flat, train: bool = True):
         """x_flat: (N, D) floats -> logits (N, D, n_class)."""
@@ -136,14 +218,22 @@ class MADENet(nn.Module):
 
 class MADE(BaseModel):
     def __init__(self, datamodule: Any, hidden_dim: int = 1024,
-                 n_layer: int = 3, lr: float = 1e-3):
+                 n_layer: int = 3, lr: float = 1e-3,
+                 compute_dtype: str = "auto"):
         super().__init__(datamodule)
         self.save_hyperparameters(hidden_dim=hidden_dim, n_layer=n_layer,
-                                  lr=lr)
+                                  lr=lr, compute_dtype=compute_dtype)
         self.in_dim = self.width * self.height * self.channels
+        # bf16 GEMM operands on TPU (params/optimizer stay f32; logits
+        # accumulate in f32 via preferred_element_type) — same policy and
+        # validation discipline as DDPM's compute_dtype (ddpm.py:46-50)
+        if compute_dtype == "auto":
+            compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                             else "float32")
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
         self.modules = ModuleDict(
             net=MADENet(self.in_dim, hidden_dim, n_class=256,
-                        n_layer=n_layer))
+                        n_layer=n_layer, dtype=dtype))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams

@@ -44,22 +44,40 @@ class TransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int = 1024
     dropout: float = 0.1
+    dtype: Any = None  # compute dtype (bf16 on TPU); params + LN stats f32
+    flash: str = "off"  # "off" | "eval" (only when exact) | "always"
 
     @nn.compact
     def __call__(self, x, mask, train: bool = True, decode: bool = False):
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead, qkv_features=self.d_model,
-            dropout_rate=self.dropout, deterministic=not train,
-            decode=decode)
+        x = x.astype(self.dtype) if self.dtype is not None else x
+        # flash kernel has no attention-probs dropout, so "eval" uses it
+        # only when dropout is inactive (exact); "always" opts into
+        # dropping attn-prob dropout for train-step speed (documented)
+        dropout_active = train and self.dropout > 0.0
+        use_flash = (not decode) and (
+            self.flash == "always"
+            or (self.flash == "eval" and not dropout_active))
+        if use_flash:
+            from ..ops.causal_attention import flash_attention_fn
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead, qkv_features=self.d_model,
+                dropout_rate=0.0, deterministic=True,
+                decode=False, dtype=self.dtype,
+                attention_fn=flash_attention_fn)
+        else:
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead, qkv_features=self.d_model,
+                dropout_rate=self.dropout, deterministic=not train,
+                decode=decode, dtype=self.dtype)
         a = attn(x, x, mask=None if decode else mask)
         a = nn.Dropout(self.dropout, deterministic=not train)(a)
-        x = nn.LayerNorm(epsilon=1e-5)(x + a)
-        f = Dense(self.dim_feedforward)(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + a)
+        f = Dense(self.dim_feedforward, dtype=self.dtype)(x)
         f = nn.relu(f)
         f = nn.Dropout(self.dropout, deterministic=not train)(f)
-        f = Dense(self.d_model)(f)
+        f = Dense(self.d_model, dtype=self.dtype)(f)
         f = nn.Dropout(self.dropout, deterministic=not train)(f)
-        return nn.LayerNorm(epsilon=1e-5)(x + f)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x + f)
 
 
 class TARNet(nn.Module):
@@ -71,6 +89,8 @@ class TARNet(nn.Module):
     width: int
     class_cond: bool
     n_classes: int
+    dtype: Any = None  # transformer stack compute dtype; logits head f32
+    flash: str = "off"
 
     @nn.compact
     def __call__(self, tokens, train: bool = True, decode: bool = False,
@@ -118,26 +138,57 @@ class TARNet(nn.Module):
 
         x = emb
         for _ in range(self.num_layers):
-            x = TransformerEncoderLayer(self.d_model, self.nhead, 1024)(
+            x = TransformerEncoderLayer(self.d_model, self.nhead, 1024,
+                                        dtype=self.dtype, flash=self.flash)(
                 x, causal, train=train, decode=decode)
-        return Dense(self.n_tokens)(x)
+        return Dense(self.n_tokens)(x.astype(jnp.float32))
 
 
 class TAR(BaseModel):
     def __init__(self, datamodule: Any = None, lr: float = 1e-4,
                  b1: float = 0.9, b2: float = 0.999, d_model: int = 256,
                  nhead: int = 4, num_layers: int = 4,
-                 class_cond: bool = False, n_classes: int = 10):
+                 class_cond: bool = False, n_classes: int = 10,
+                 compute_dtype: str = "auto",
+                 flash_attention: Any = "auto"):
         super().__init__(datamodule)
         self.save_hyperparameters(lr=lr, b1=b1, b2=b2, d_model=d_model,
                                   nhead=nhead, num_layers=num_layers,
-                                  class_cond=class_cond, n_classes=n_classes)
+                                  class_cond=class_cond, n_classes=n_classes,
+                                  compute_dtype=compute_dtype,
+                                  flash_attention=flash_attention)
+        # bf16 transformer stack on TPU (params f32, logits head + loss f32)
+        # — same policy and validation discipline as DDPM (ddpm.py:46-50)
+        if compute_dtype == "auto":
+            compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
+                             else "float32")
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+        # flash_attention: MEASURED OFF by default — at TAR's shapes
+        # (S=785, head_dim=64, 4 heads) XLA's fused mask+softmax attention
+        # beats the Pallas flash kernel on TPU (fwd 12.3 vs 13.3 ms, bwd
+        # 19.2 vs 37.2 ms; full step 126 vs 217 ms — NOTES.md round 2).
+        # The kernel stays available for long-sequence use:
+        # true -> always (also drops torch's in-attention dropout);
+        # "eval" -> only where exact (attention dropout inactive)
+        if flash_attention in (True, "true"):
+            flash = "always"
+        elif flash_attention == "eval":
+            flash = "eval"
+        else:
+            flash = "off"
+        if flash != "off" and jax.default_backend() != "tpu":
+            import logging
+            logging.getLogger(__name__).warning(
+                "flash_attention=%s requested but backend is %s — the "
+                "Pallas TPU kernel needs a TPU; using the XLA path",
+                flash_attention, jax.default_backend())
+            flash = "off"
         self.n_tokens = 2  # binary pixels + <sos> shares the cond embedding
         self.seq_len = 1 + self.height * self.width * self.channels
         self.modules = ModuleDict(
             net=TARNet(self.n_tokens, d_model, nhead, num_layers,
                        self.height, self.width, bool(class_cond),
-                       int(n_classes)))
+                       int(n_classes), dtype=dtype, flash=flash))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams

@@ -1,0 +1,78 @@
+"""Causal self-attention for the TAR transformer (hot path on TPU).
+
+Parity target: the softmax attention inside the reference's
+``nn.TransformerEncoder`` (`/root/reference/src/models/tar.py:64-69`) — a
+full (S, S) tril-masked attention matrix.  At TAR's S = 785 and batch 128
+the materialised probs tensor is 315M elements per layer, so the torch-style
+path is HBM-traffic-bound on TPU.
+
+On TPU this dispatches to JAX's stock Pallas TPU flash-attention kernel
+(blockwise online-softmax, causal block skipping — the probs matrix never
+touches HBM).  The sequence is zero-padded to a multiple of the 128-lane
+block size; with ``causal=True`` the padded tail positions are unreachable
+from every real query, so the sliced result is EXACT (verified on-chip
+against the XLA path, see tests/test_flash_attention.py).
+
+Dropout caveat: the flash kernel has no attention-probs dropout.  Callers
+that need it (train-time parity with torch's in-attention dropout) must
+use the XLA path — TAR keeps flash OFF while attention dropout is active
+unless ``model.flash_attention=true`` explicitly opts in (documented
+divergence).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_BLOCK = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_fn(seq_pad: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+    b = min(_BLOCK, seq_pad)
+    sizes = BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+        block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
+    return functools.partial(flash_attention, causal=True,
+                             block_sizes=sizes)
+
+
+def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           sm_scale: Optional[float] = None) -> jnp.ndarray:
+    """q, k, v: (batch, seq, heads, head_dim) (the flax layout) -> same.
+
+    Exact causal attention via the Pallas TPU flash kernel; pads seq to a
+    multiple of 128 (padded keys are causally unreachable from real
+    queries, padded query rows are sliced off).
+    """
+    n, s, h, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    s_pad = -(-s // _BLOCK) * _BLOCK
+    # flax BSHD -> kernel BHSD
+    qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))
+    if s_pad != s:
+        pad = [(0, 0), (0, 0), (0, s_pad - s), (0, 0)]
+        qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
+    out = _flash_fn(s_pad)(qt, kt, vt, sm_scale=sm_scale)
+    return out[:, :, :s, :].swapaxes(1, 2)
+
+
+def flash_attention_fn(query, key, value, bias=None, mask=None,
+                       broadcast_dropout=True, dropout_rng=None,
+                       dropout_rate=0.0, deterministic=True,
+                       dtype=None, precision=None, module=None,
+                       force_fp32_for_softmax=False):
+    """Drop-in ``attention_fn`` for flax ``MultiHeadDotProductAttention``.
+
+    Ignores ``mask`` (the caller's mask must be causal — TAR's is) and
+    ``dropout_*`` (see module docstring).  ``bias`` is unsupported.
+    """
+    assert bias is None, "flash path does not support attention bias"
+    return flash_causal_attention(query, key, value)

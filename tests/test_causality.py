@@ -35,6 +35,38 @@ def test_made_causality():
         assert np.allclose(np.asarray(g)[i:], 0.0), f"leak at {i}"
 
 
+def test_made_mask_invariant_survives_training():
+    """The masked-kernel entries are zeroed at init and must stay EXACTLY
+    zero through optimizer steps (made.py: the forward reads the kernel
+    unmasked; correctness rests on this invariant — masked grads are
+    zeroed by the custom VJP, so adam moments/updates stay zero)."""
+    from igm_tpu.models.made import MADE, build_masks
+
+    dm = {"width": 4, "height": 4, "channels": 1,
+          "transforms": {"normalize": True}}
+    model = MADE(dm, hidden_dim=12, n_layer=2, lr=1e-2)
+    model.steps_per_epoch = 10
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    step = jax.jit(model.train_step)
+    rng = np.random.default_rng(0)
+    batch = (jnp.asarray(rng.integers(0, 255, (8, 4, 4, 1)), jnp.uint8),
+             jnp.zeros((8,), jnp.int32))
+    for _ in range(5):
+        state, _ = step(state, batch)
+
+    hidden_masks, out_small = build_masks(16, 12, 2, seed=0)
+    p = state.params["net"]
+    for li, m in enumerate(hidden_masks):
+        k = np.asarray(p[f"layers_{li}"]["kernel"])        # (in, out)
+        assert np.all(k[m.T == 0] == 0.0), f"hidden layer {li} leak"
+        assert np.any(k[m.T == 1] != 0.0)
+    k_out = np.asarray(p["out_layer"]["kernel"])           # (hidden, in*nc)
+    # expanded mask: (hidden, in*256), column i*256+a <- out_small.T[:, i]
+    mask_exp = np.repeat(out_small.T, 256, axis=1)
+    assert np.all(k_out[mask_exp == 0] == 0.0), "output layer leak"
+    assert np.any(k_out[mask_exp == 1] != 0.0)
+
+
 def test_pixelcnn_causality():
     from igm_tpu.models.pixelcnn import PixelCNNNet
 

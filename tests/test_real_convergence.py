@@ -82,6 +82,18 @@ def test_made_real_mnist_bpd_threshold(config_dir, tmp_path):
     assert final < 5.0, final
 
 
+def test_ddpm_real_mnist_loss_threshold(config_dir, tmp_path):
+    """Diffusion on real digits: untrained eps-prediction MSE is ~1.0-1.3;
+    the archived 30-epoch TPU run (benchmarks/real_ddpm_tb) fell 0.85 ->
+    0.14 with its first logged point already at 0.85.  A narrow UNet must
+    be under 0.8 within 3 epochs on CPU (~12 min on the 1-core host)."""
+    _train_real(config_dir, tmp_path, "ddpm/mnist", epochs=3,
+                extra=["model.hidden_dim=32", "trainer.check_val_every_n_epoch=10",
+                       "trainer.num_sanity_val_steps=0"])
+    final = _final_scalar(tmp_path, "train_loss/loss")
+    assert final < 0.8, final
+
+
 def test_gan_real_mnist_both_losses_finite(config_dir, tmp_path):
     """Adversarial training on real digits: both G and D losses logged,
     finite, and D-loss departs from its untrained value (learning signal
