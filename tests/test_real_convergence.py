@@ -85,11 +85,14 @@ def test_made_real_mnist_bpd_threshold(config_dir, tmp_path):
 def test_ddpm_real_mnist_loss_threshold(config_dir, tmp_path):
     """Diffusion on real digits: untrained eps-prediction MSE is ~1.0-1.3;
     the archived 30-epoch TPU run (benchmarks/real_ddpm_tb) fell 0.85 ->
-    0.14 with its first logged point already at 0.85.  A narrow UNet must
-    be under 0.8 within 3 epochs on CPU (~12 min on the 1-core host)."""
-    _train_real(config_dir, tmp_path, "ddpm/mnist", epochs=3,
-                extra=["model.hidden_dim=32", "trainer.check_val_every_n_epoch=10",
-                       "trainer.num_sanity_val_steps=0"])
+    0.14.  A narrow UNet reaches 0.63 after ONE epoch at this size
+    (calibration run 2026-08-17); assert < 0.8 after two.  CPU cost is
+    compile-dominated (~7 min compile + ~2 min/epoch on the 1-core host)."""
+    _train_real(config_dir, tmp_path, "ddpm/mnist", epochs=2,
+                extra=["model.hidden_dim=16", "datamodule.batch_size=32",
+                       "trainer.check_val_every_n_epoch=10",
+                       "trainer.num_sanity_val_steps=0",
+                       "trainer.enable_checkpointing=False"])
     final = _final_scalar(tmp_path, "train_loss/loss")
     assert final < 0.8, final
 
