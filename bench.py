@@ -55,7 +55,7 @@ import jax.numpy as jnp
 d = jax.devices()[0]
 out = float(jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128), jnp.bfloat16)))
 print(json.dumps({"platform": d.platform, "kind": getattr(d, "device_kind", "?"),
-                  "ok": out == 128.0 * 128.0}))
+                  "ok": out == 128.0 ** 3}))  # each of 128^2 entries is 128
 """
 
 # bf16 peak FLOP/s per chip by device kind (public figures); used for MFU.

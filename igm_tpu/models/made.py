@@ -59,6 +59,10 @@ def build_masks(in_dim: int, hidden_dim: int, n_layer: int, seed: int = 0):
 def _zeroed_masked_init(base_init, mask_t_fn):
     """Init wrapper that zeroes the masked entries once, at init time.
 
+    COMPAT NOTE: checkpoints written before this invariant existed carry
+    nonzero (init-valued) masked entries — multiply their kernels by the
+    mask once after restore before using them with this code.
+
     This establishes the invariant ``kernel * mask == kernel`` that lets the
     forward pass read the kernel DIRECTLY: re-materialising the masked
     kernel every step is pure HBM traffic (the output layer's expanded
