@@ -57,3 +57,23 @@ def test_cached_sampler_end_to_end():
     assert imgs.shape == (3, 4, 4, 1)
     vals = np.unique(np.asarray(imgs))
     assert set(vals).issubset({0.0, 1.0})
+
+
+def test_flash_attention_knob_safe_off_tpu():
+    """model.flash_attention: on a non-TPU backend every setting must
+    resolve to the XLA path (the Pallas kernel needs a TPU) with a loud
+    warning for explicit opt-ins, and the model must still train."""
+    from igm_tpu.models.tar import TAR
+
+    dm = {"width": 4, "height": 4, "channels": 1,
+          "transforms": {"normalize": False}, "n_classes": 10}
+    for knob in ("auto", True, "eval", False):
+        model = TAR(dm, d_model=16, nhead=2, num_layers=1,
+                    flash_attention=knob)
+        assert model.modules["net"].flash == "off", knob
+    model = TAR(dm, d_model=16, nhead=2, num_layers=1)
+    model.steps_per_epoch = 4
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    batch = (jnp.zeros((2, 4, 4, 1), jnp.uint8), jnp.zeros((2,), jnp.int32))
+    state2, metrics = jax.jit(model.train_step)(state, batch)
+    assert np.isfinite(float(metrics["train_log/nll"]))
