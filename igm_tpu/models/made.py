@@ -241,7 +241,12 @@ class MADE(BaseModel):
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams
-        tx = adam(step_lr(hp.lr, 0.99, self.steps_per_epoch))
+        # bf16 first moments ride the same measured-bf16 policy as the
+        # GEMM operands (see core/optim.adam docstring for the numbers)
+        mu_dtype = (jnp.bfloat16 if self.modules["net"].dtype is not None
+                    else None)
+        tx = adam(step_lr(hp.lr, 0.99, self.steps_per_epoch),
+                  mu_dtype=mu_dtype)
         self.optimizers = OptimizerSet().add("opt", tx, ["net"])
         return self.make_state(rng, {"net": (jnp.zeros((1, self.in_dim)),)})
 
