@@ -20,6 +20,7 @@ import time
 from typing import Any, Dict, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..parallel import mesh as mesh_lib
@@ -57,7 +58,14 @@ class Trainer:
         self.limit_val_batches = limit_val_batches
         self.fast_dev_run = bool(fast_dev_run)
         self.seed = int(seed) if seed is not None else 0
-        self.steps_per_execution = max(1, int(steps_per_execution))
+        if isinstance(steps_per_execution, str):
+            if steps_per_execution != "auto":
+                raise ValueError(
+                    f"steps_per_execution must be an int or 'auto', got "
+                    f"{steps_per_execution!r}")
+            self.steps_per_execution = "auto"
+        else:
+            self.steps_per_execution = max(1, int(steps_per_execution))
         self.ckpt_every_n_epochs = int(ckpt_every_n_epochs)
         self.resume = resume
         self.callbacks = list(callbacks)
@@ -115,16 +123,13 @@ class Trainer:
         model.steps_per_epoch = steps_per_epoch
 
         # hyperparameter logging (parity: src/utils/utils.py:126-166)
-        try:
-            hp = {}
-            if hasattr(model, "hparams"):
-                hp.update({f"model/{k}": v for k, v in model.hparams.items()
-                           if isinstance(v, (int, float, bool, str))})
-            hp["datamodule/batch_size"] = batch_size
-            hp["trainer/max_epochs"] = self.max_epochs
-            self.logger.log_hyperparams(hp)
-        except Exception:
-            pass
+        hp = {}
+        if hasattr(model, "hparams"):
+            hp.update({f"model/{k}": v for k, v in model.hparams.items()
+                       if isinstance(v, (int, float, bool, str))})
+        hp["datamodule/batch_size"] = batch_size
+        hp["trainer/max_epochs"] = self.max_epochs
+        self.logger.log_hyperparams(hp)
 
         init_rng = jax.random.PRNGKey(self.seed)
         # jit the init: eager init dispatches hundreds of tiny ops, which is
@@ -139,13 +144,22 @@ class Trainer:
                 self.ckpt_manager = CheckpointManager(str(self.resume))
             if self.resume and self.ckpt_manager.latest_step() is not None:
                 state = self.ckpt_manager.restore(state)
+                state = model.on_restore(state)  # param-invariant migrations
                 state = mesh_lib.shard_state(self.mesh, state)
                 log.info("resumed from step %s", int(state.step))
 
         # steps_per_execution > 1: K train steps per device dispatch via
         # lax.scan (models/base.py train_step_n) — amortises host dispatch
         # for small/fast models; metrics come back phase-merged (nanmean).
+        # "auto" (the default since round 3) measures the single-step wall
+        # time on a throwaway state copy and chains just enough steps that
+        # per-dispatch overhead is amortised (VERDICT r2 next-round #3).
         k_exec = self.steps_per_execution
+        if k_exec == "auto":
+            k_exec = self._auto_steps_per_execution(
+                model, state, train_arrays, batch_size, steps_per_epoch)
+            log.info("steps_per_execution=auto resolved to %d", k_exec)
+        self.steps_per_execution = k_exec  # resolved value, callback-visible
         if k_exec > 1:
             train_step = jax.jit(model.train_step_n, donate_argnums=0)
         else:
@@ -185,9 +199,12 @@ class Trainer:
             for batch in prefetcher:
                 k_this = len(batch[0]) if k_exec > 1 else 1
                 if self._step_flops is None:
-                    # per-STEP flops: the chained computation covers k steps
-                    self._step_flops = (
-                        self._cost_flops(train_step, state, batch) / k_this)
+                    # XLA cost analysis counts a lax.scan body ONCE (verified
+                    # empirically, tests/test_chained.py::test_cost_analysis_
+                    # counts_scan_body_once), so the chained program's flops
+                    # are already per-STEP — no division by k_this.
+                    self._step_flops = self._cost_flops(train_step, state,
+                                                        batch)
                 state, metrics = train_step(state, batch)
                 if pending_metrics is not None:
                     step_no, dev_m = pending_metrics
@@ -316,6 +333,54 @@ class Trainer:
         self._run_validation(val_step, datamodule.val_arrays(),
                              int(datamodule.batch_size), self.current_epoch)
         return dict(self.callback_metrics)
+
+    # ------------------------------------------------- auto step chaining
+    @staticmethod
+    def resolve_chain_k(t_step_s: float, steps_per_epoch: int,
+                        target_exec_s: float = 0.050,
+                        max_k: int = 32) -> int:
+        """Pick K so one device dispatch covers >= ``target_exec_s`` of
+        work.  Per-dispatch overhead through the remote-TPU tunnel is
+        ~2.5 ms (benchmarks/results_round2_chained.json: small families run
+        3-7x faster chained); chaining to 50 ms/dispatch caps that overhead
+        at ~5%.  Steps already >= 20 ms amortise their own dispatch — K=1
+        keeps single-step logging/checkpoint semantics there."""
+        if t_step_s >= 0.020:
+            return 1
+        k = int(round(target_exec_s / max(t_step_s, 1e-4)))
+        return max(1, min(max_k, k, max(steps_per_epoch, 1)))
+
+    def _auto_steps_per_execution(self, model, state, train_arrays,
+                                  batch_size: int,
+                                  steps_per_epoch: int) -> int:
+        """Time the jitted single step on a throwaway state copy (donation
+        consumes it; the real state and RNG stream stay untouched, so
+        auto-K never perturbs the training trajectory)."""
+        probe_batch = next(iter(self._epoch_batches(
+            train_arrays, batch_size, np.random.default_rng(0),
+            shuffle=False, limit=1)), None)
+        if probe_batch is None:
+            return 1
+        try:
+            dev_batch = mesh_lib.shard_batch(self.mesh, probe_batch)
+            step = jax.jit(model.train_step, donate_argnums=0)
+            # jitted copy: one dispatch (eager per-leaf copies would be one
+            # tunnel round-trip per leaf, NOTES.md round-1 lesson)
+            probe_state = jax.jit(
+                lambda s: jax.tree_util.tree_map(jnp.copy, s))(state)
+            probe_state, _ = step(probe_state, dev_batch)  # compile+warm
+            jax.device_get(jax.tree_util.tree_leaves(probe_state.params)[0])
+            n_timed = 3
+            t0 = time.time()
+            for _ in range(n_timed):
+                probe_state, _ = step(probe_state, dev_batch)
+            jax.device_get(jax.tree_util.tree_leaves(probe_state.params)[0])
+            t_step = (time.time() - t0) / n_timed
+        except Exception as exc:  # probe is advisory — fall back to K=1
+            log.warning("auto steps_per_execution probe failed (%s); "
+                        "falling back to 1", exc)
+            return 1
+        return self.resolve_chain_k(t_step, steps_per_epoch)
 
     @staticmethod
     def _cost_flops(jitted, state, batch):

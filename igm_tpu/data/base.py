@@ -21,6 +21,7 @@ structured synthetic set stands in (CI/smoke mode, no network egress).
 from __future__ import annotations
 
 import os
+import zlib
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -148,7 +149,9 @@ class BaseDatamodule:
         the CONFIG geometry so transforms are a no-op."""
         n = self.synthetic_sizes[0 if split == "train" else 1]
         h, w, c = self.height, self.width, self.channels
-        rng = np.random.default_rng(abs(hash((split, h, w, c))) % (2 ** 31))
+        # stable across processes (Python str hash is PYTHONHASHSEED-salted)
+        seed = zlib.crc32(f"{split}:{h}:{w}:{c}".encode())
+        rng = np.random.default_rng(seed)
         labels = (np.arange(n) % 10).astype(np.int32)
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         cy = (labels % 5 + 1) / 6.0 * h

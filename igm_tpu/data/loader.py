@@ -37,7 +37,11 @@ def epoch_batches(arrays: Sequence[np.ndarray], batch_size: int,
     if divisor > 1:
         bs -= bs % divisor
     if bs <= 0:
-        return
+        # dataset smaller than the device mesh: an empty epoch would train
+        # zero steps with no error — fail loudly instead (advisor r2 finding)
+        raise ValueError(
+            f"dataset of {n} rows cannot form a single batch divisible by "
+            f"the {divisor}-device mesh; reduce device count or grow data")
     if shuffle:
         order = (rng.permutation(n) if rng is not None
                  else native.shuffle_perm(n)).astype(np.int64)

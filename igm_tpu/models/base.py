@@ -140,5 +140,13 @@ class BaseModel:
                         sample: bool = False):  # pragma: no cover
         raise NotImplementedError
 
+    def on_restore(self, state: TrainState) -> TrainState:
+        """Model hook run after checkpoint restore, before training resumes.
+
+        Default: identity.  Models with parameter invariants the optimizer
+        must respect (MADE's zeroed-masked kernels) override this to
+        re-establish them on checkpoints written by older code."""
+        return state
+
     def on_train_epoch_end(self, trainer) -> None:
         """Host-side hook (InfoGAN traversal grids use this)."""

@@ -59,9 +59,9 @@ def build_masks(in_dim: int, hidden_dim: int, n_layer: int, seed: int = 0):
 def _zeroed_masked_init(base_init, mask_t_fn):
     """Init wrapper that zeroes the masked entries once, at init time.
 
-    COMPAT NOTE: checkpoints written before this invariant existed carry
-    nonzero (init-valued) masked entries — multiply their kernels by the
-    mask once after restore before using them with this code.
+    Checkpoints written before this invariant existed are migrated
+    automatically on restore — ``MADE.on_restore`` re-applies the masks to
+    kernels and Adam moments (idempotent on post-invariant checkpoints).
 
     This establishes the invariant ``kernel * mask == kernel`` that lets the
     forward pass read the kernel DIRECTLY: re-materialising the masked
@@ -249,6 +249,33 @@ class MADE(BaseModel):
                   mu_dtype=mu_dtype)
         self.optimizers = OptimizerSet().add("opt", tx, ["net"])
         return self.make_state(rng, {"net": (jnp.zeros((1, self.in_dim)),)})
+
+    def on_restore(self, state: TrainState) -> TrainState:
+        """Migrate pre-invariant checkpoints: re-zero masked kernel entries
+        AND the corresponding Adam moments (else the optimizer would push
+        nonzero masked weights back in, silently breaking autoregressive
+        causality).  The mask-multiply is idempotent, so post-invariant
+        checkpoints pass through unchanged."""
+        hp = self.hparams
+        hidden_masks, out_small = build_masks(self.in_dim, hp.hidden_dim,
+                                              hp.n_layer, seed=0)
+        masks = {f"layers_{i}": jnp.asarray(m.T)       # (in_f, out_f)
+                 for i, m in enumerate(hidden_masks)}
+        masks["out_layer"] = jnp.asarray(
+            np.repeat(out_small.T, 256, axis=1))       # (hidden, D*256)
+
+        def fix(path, leaf):
+            keys = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+            if "kernel" in keys:
+                for name, m in masks.items():
+                    if name in keys and leaf.shape == m.shape:
+                        return leaf * m.astype(leaf.dtype)
+            return leaf
+
+        return state.replace(
+            params=jax.tree_util.tree_map_with_path(fix, state.params),
+            opt_states=jax.tree_util.tree_map_with_path(fix,
+                                                        state.opt_states))
 
     # ---------------------------------------------------------------- helpers
     def _flatten(self, imgs):

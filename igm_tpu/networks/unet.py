@@ -8,13 +8,14 @@ first skip connection is unused (reference quirk: ups iterate in_out[1:],
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import linear_attention
+from ..ops.attention import linear_attention, linear_attention_flat
 from .base import Conv, ConvTranspose, Dense
 
 
@@ -64,10 +65,23 @@ class LinearAttention(nn.Module):
         b, h, w, _ = x.shape
         hidden = self.heads * self.dim_head
         qkv = Conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
-        qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = linear_attention(q, k, v)
-        out = out.reshape(b, h, w, hidden)
+        if os.environ.get("IGM_ATTN_SPLIT_HEADS", "0") == "1":
+            # legacy head-split basis (round-2 default); kept for A/B — the
+            # 5-D (b,n,3,h,d) tensors cost ~2.5-3 ms/step in layout copies
+            # on the flagship step (benchmarks/profiles/ddpm_trace.md)
+            qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            out = linear_attention(q, k, v).reshape(b, h, w, hidden)
+        else:
+            # head-folded basis: channel-contiguous slices, zero transposes
+            # (ops/attention.py linear_attention_flat).  Weight-compatible
+            # with the split path: channels [i*hidden:(i+1)*hidden] of the
+            # qkv conv are exactly q/k/v's (heads, dim_head) blocks.
+            flat = qkv.reshape(b, h * w, 3 * hidden)
+            q, k, v = (flat[..., :hidden], flat[..., hidden:2 * hidden],
+                       flat[..., 2 * hidden:])
+            out = linear_attention_flat(q, k, v, self.heads)
+            out = out.reshape(b, h, w, hidden)
         return Conv(self.dim, 1, dtype=self.dtype)(out)
 
 

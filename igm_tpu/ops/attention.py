@@ -12,6 +12,7 @@ pure-XLA path everywhere.
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -48,6 +49,72 @@ def linear_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndar
 
 def _fwd(q, k, v):
     return linear_attention(q, k, v), (q, k, v)
+
+
+# --------------------------------------------------------------------------
+# Head-folded ("flat") path — the TPU default since round 3.
+#
+# The (B, N, H, D) head-split basis forces XLA to materialise 5-D qkv
+# tensors whose einsum layouts disagree with the 1x1-conv output layout;
+# the round-3 device trace (benchmarks/profiles/ddpm_trace.md) showed
+# ~2.5-3 ms/step of pure layout copies from exactly that.  Folding heads
+# into the channel axis (C = H*D = 128) makes every contraction a
+# (B, N, C) x (B, N, C) batched GEMM in the conv's own channel-minor
+# layout (zero transposes) and fills full 128-lane MXU tiles.  Cross-head
+# context blocks are computed (+4x FLOPs on a term that is <1% of the
+# step) and masked to block-diagonal, which is exactly per-head attention:
+# out = q_flat @ blockdiag(ctx_h) == concat_h(q_h @ ctx_h).
+# --------------------------------------------------------------------------
+
+def _block_mask(heads: int, d: int, dtype) -> jnp.ndarray:
+    eye = jnp.eye(heads, dtype=dtype)
+    return jnp.kron(eye, jnp.ones((d, d), dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def linear_attention_flat(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          heads: int) -> jnp.ndarray:
+    """q,k,v: (B, N, H*D) channel-flat -> (B, N, H*D).
+
+    Same math as :func:`linear_attention` (softmax over N on k, per-head
+    (d x d) context, raw q readout — parity `ddpm.py:146-166`), computed in
+    the head-folded basis described above.
+    """
+    out, _ = _flat_fwd(q, k, v, heads)
+    return out
+
+
+def _flat_fwd(q, k, v, heads):
+    c = q.shape[-1]
+    mask = _block_mask(heads, c // heads, jnp.float32)
+    k_sm = jax.nn.softmax(k, axis=1)
+    ctx = jnp.einsum("bnc,bne->bce", k_sm, v,
+                     preferred_element_type=jnp.float32) * mask
+    ctx = ctx.astype(q.dtype)
+    out = jnp.einsum("bnc,bce->bne", q, ctx,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype), (q, k, v, ctx)
+
+
+def _flat_bwd(heads, res, g):
+    q, k, v, ctx = res
+    f32 = jnp.float32
+    c = q.shape[-1]
+    mask = _block_mask(heads, c // heads, f32)
+    k_sm = jax.nn.softmax(k.astype(f32), axis=1)
+    gf = g.astype(f32)
+    dq = jnp.einsum("bne,bce->bnc", gf, ctx.astype(f32))
+    dctx = jnp.einsum("bnc,bne->bce", q.astype(f32), gf) * mask
+    dv = jnp.einsum("bnc,bce->bne", k_sm, dctx)
+    dk_sm = jnp.einsum("bce,bne->bnc", dctx, v.astype(f32))
+    inner = jnp.sum(k_sm * dk_sm, axis=1, keepdims=True)
+    dk = k_sm * (dk_sm - inner)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+linear_attention_flat.defvjp(
+    lambda q, k, v, heads: _flat_fwd(q, k, v, heads),
+    _flat_bwd)
 
 
 def _bwd(res, g):

@@ -75,4 +75,15 @@ def flash_attention_fn(query, key, value, bias=None, mask=None,
     ``dropout_*`` (see module docstring).  ``bias`` is unsupported.
     """
     assert bias is None, "flash path does not support attention bias"
-    return flash_causal_attention(query, key, value)
+    out = flash_causal_attention(query, key, value)
+    if mask is not None:
+        # The kernel computes CAUSAL attention unconditionally; a caller
+        # passing any other mask (padding, bidirectional) would otherwise get
+        # silently wrong attention (advisor r2 finding).  The mask is a
+        # tracer under jit, so the check must live in the computation: poison
+        # the output with NaN unless the mask is exactly lower-triangular.
+        s = query.shape[1]
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        ok = jnp.all(mask.astype(bool).reshape(-1, s, s) == causal[None])
+        out = jnp.where(ok, out, jnp.nan)
+    return out
