@@ -184,6 +184,12 @@ def main() -> None:
         "batch": BATCH,
         "steps_per_sec": round(ITERS / dt, 3),
         "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+        # provenance: the denominator is a DOCUMENTED ESTIMATE of the
+        # reference's V100 throughput, not a measured number (the reference
+        # publishes none) — see benchmarks/BASELINE_DERIVATION.md
+        "baseline": "derived-estimate",
+        "baseline_imgs_per_sec": BASELINE_IMGS_PER_SEC,
+        "baseline_doc": "benchmarks/BASELINE_DERIVATION.md",
     }
     if flops_per_step:
         peak = _peak_flops(getattr(dev, "device_kind", ""), dev.platform)

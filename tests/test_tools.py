@@ -41,12 +41,23 @@ def test_sample_and_eval_fid_tools(tmp_path):
     assert run.returncode == 0, run.stderr[-2000:]
     assert out_png.exists() and out_png.stat().st_size > 0
 
-    # 3) standalone FID eval (random backend; synthetic val data)
-    run = subprocess.run(
-        [sys.executable, str(REPO / "tools" / "eval_fid.py"),
-         "experiment=vae/mnist_mlp", "--ckpt", str(ckpt), "--n", "32",
-         "--batch", "16"],
-        capture_output=True, text=True, env=_env(), timeout=300)
-    assert run.returncode == 0, run.stderr[-2000:]
-    result = json.loads(run.stdout.strip().splitlines()[-1])
-    assert "fid" in result and result["n_fake"] >= 32
+    # 3) standalone FID eval (random backend; synthetic val data); first
+    # call computes + caches the real-split stats, second call must load
+    # them and produce the identical number (the one-command path a future
+    # Inception-weights drop rides)
+    stats_dir = tmp_path / "fid_stats"
+    results = []
+    for _ in range(2):
+        run = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "eval_fid.py"),
+             "experiment=vae/mnist_mlp", "--ckpt", str(ckpt), "--n", "32",
+             "--batch", "16", "--stats-dir", str(stats_dir)],
+            capture_output=True, text=True, env=_env(), timeout=300)
+        assert run.returncode == 0, run.stderr[-2000:]
+        results.append(json.loads(run.stdout.strip().splitlines()[-1]))
+    first, second = results
+    assert "fid" in first and first["n_fake"] >= 32
+    assert first["real_stats"] == "computed"
+    assert second["real_stats"] == "cached"
+    assert second["fid"] == first["fid"]
+    assert any(stats_dir.iterdir())

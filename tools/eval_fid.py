@@ -30,6 +30,11 @@ def main() -> None:
     parser.add_argument("--sampler", default="ancestral",
                         choices=["ancestral", "ddim", "default"])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--stats-dir", default=str(REPO / "benchmarks/fid_stats"),
+                        help="disk cache for real-split feature stats; a "
+                             "future Inception-weights drop then needs ONE "
+                             "command for the north-star number (pass '' to "
+                             "disable)")
     args = parser.parse_args()
 
     from igm_tpu.utils.platform import apply_platform_env
@@ -60,8 +65,28 @@ def main() -> None:
         return (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
     imgs, _ = datamodule.val_arrays()
-    for i in range(0, min(args.n, len(imgs)), args.batch):
-        real_stats.update(fe(imgs[i:i + args.batch]))
+    n_real = min(args.n, len(imgs))
+    real_src = "computed"
+    cache_path = None
+    if args.stats_dir:
+        # cache key: backend + dataset geometry + count (the stats depend on
+        # nothing else); invalidated automatically when the backend changes
+        h, w, c = imgs.shape[1:4]
+        key = f"{backend}_{type(datamodule).__name__}_{h}x{w}x{c}_n{n_real}"
+        cache_path = Path(args.stats_dir) / f"{key}.npz"
+    if cache_path is not None and cache_path.exists():
+        z = np.load(cache_path)
+        real_mu, real_sigma = z["mu"], z["sigma"]
+        real_n = int(z["n"])
+        real_src = "cached"
+    else:
+        for i in range(0, n_real, args.batch):
+            real_stats.update(fe(imgs[i:i + args.batch]))
+        real_mu, real_sigma = real_stats.finalize()
+        real_n = real_stats.n
+        if cache_path is not None:
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(cache_path, mu=real_mu, sigma=real_sigma, n=real_n)
 
     if args.sampler == "ddim" and hasattr(model, "ddim_sample"):
         sampler = jax.jit(lambda s, r: model.ddim_sample(s, r, args.batch))
@@ -75,9 +100,10 @@ def main() -> None:
         fake_stats.update(fe(to_uint8(fake)))
         done += args.batch
 
-    fid = frechet_distance(*real_stats.finalize(), *fake_stats.finalize())
+    fid = frechet_distance(real_mu, real_sigma, *fake_stats.finalize())
     print(json.dumps({"fid": round(fid, 4), "backend": backend,
-                      "n_real": real_stats.n, "n_fake": fake_stats.n}))
+                      "real_stats": real_src,
+                      "n_real": real_n, "n_fake": fake_stats.n}))
 
 
 if __name__ == "__main__":
