@@ -112,5 +112,25 @@ def shard_state(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(_put, tree)
 
 
+def state_shardings(mesh: Mesh, shape_tree: Any) -> Any:
+    """NamedSharding tree for a TrainState shape tree: replicated on a 1-D
+    mesh, FSDP specs on a 2-D mesh.  Use as ``jit(..., out_shardings=...)``
+    so the state is BORN sharded — required in multi-process runs, where a
+    post-hoc cross-host ``device_put`` reshard is not a supported path."""
+    if MODEL_AXIS not in mesh.axis_names or mesh.shape[MODEL_AXIS] == 1:
+        rep = replicated(mesh)
+        return jax.tree_util.tree_map(lambda _: rep, shape_tree)
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, _fsdp_spec(mesh, x)), shape_tree)
+
+
+def init_state_sharded(model, mesh: Mesh, rng) -> Any:
+    """Jit the model's init with explicit output shardings (GSPMD writes
+    each shard on its owner device; no cross-host transfer ever exists)."""
+    shapes = jax.eval_shape(model.init_state, rng)
+    return jax.jit(model.init_state,
+                   out_shardings=state_shardings(mesh, shapes))(rng)
+
+
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k

@@ -33,3 +33,17 @@ def test_two_process_spmd_train_step():
     assert len(out["losses"]) == 2
     # replicated state + same data => bitwise-identical loss on every host
     assert out["losses"][0] == out["losses"][1]
+
+
+def test_two_process_fsdp_2d_mesh():
+    """2-D (data, model) mesh across 2 processes: FSDP state shards span
+    the process boundary; the state is BORN sharded via jit out_shardings
+    (VERDICT r2 next-round #8).  Loss must be identical on both hosts."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "multihost_dryrun.py"),
+         "--procs", "2", "--local-devices", "2", "--model-axis", "2"],
+        capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (proc.stdout[-500:], proc.stderr[-1000:])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ok"] is True and out["model_axis"] == 2
+    assert out["losses"][0] == out["losses"][1]

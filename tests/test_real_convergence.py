@@ -126,7 +126,10 @@ def _sample_from_ckpt(config_dir, tmp_path, experiment, n=256):
     model = instantiate(cfg.model, datamodule=cfg.datamodule)
     model.steps_per_epoch = 1
     template = jax.jit(model.init_state)(jax.random.PRNGKey(0))
-    ckpt = glob.glob(str(tmp_path / "logs/runs/*/*/checkpoints"))[0]
+    # train(cfg) runs in CWD (run.py does the hydra-style per-run chdir)
+    candidates = (glob.glob(str(tmp_path / "checkpoints"))
+                  + glob.glob(str(tmp_path / "logs/runs/*/*/checkpoints")))
+    ckpt = candidates[0]
     state = CheckpointManager(ckpt).restore(template)
     return np.asarray(model.sample(state, jax.random.PRNGKey(0), n))
 

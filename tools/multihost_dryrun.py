@@ -48,10 +48,21 @@ def child(args) -> None:
     from __graft_entry__ import _make_ddpm
     from igm_tpu.parallel import mesh as mesh_lib
 
-    mesh = mesh_lib.make_mesh()  # spans ALL processes' devices
+    # spans ALL processes' devices; --model-axis > 1 builds a 2-D
+    # (data, model) mesh whose FSDP shards cross the PROCESS boundary
+    mesh = mesh_lib.make_mesh(model=args.model_axis)
     model = _make_ddpm(hidden_dim=8, timesteps=4, batch=2 * n_global, image=16)
-    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
-    state = mesh_lib.replicate(mesh, state)
+    # init with explicit out_shardings: in multi-process runs the state must
+    # be BORN sharded (a post-hoc cross-host device_put reshard hangs)
+    state = mesh_lib.init_state_sharded(model, mesh, jax.random.PRNGKey(0))
+    if args.model_axis > 1:
+        # non-vacuousness: at least one param leaf must actually be sharded
+        # over the model axis (mirrors __graft_entry__.dryrun_multichip)
+        specs = [x.sharding.spec
+                 for x in jax.tree_util.tree_leaves(state.params)
+                 if hasattr(x, "sharding")]
+        assert any(mesh_lib.MODEL_AXIS in tuple(s) for s in specs), (
+            "FSDP sharding vacuous: no param sharded over the model axis")
 
     step = jax.jit(model.train_step, donate_argnums=0)
     # every process supplies the same GLOBAL batch; device_put scatters the
@@ -72,9 +83,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--local-devices", type=int, default=2)
+    ap.add_argument("--model-axis", type=int, default=1,
+                    help=">1: 2-D (data, model) mesh — FSDP shards cross the process boundary")
     ap.add_argument("--process-id", type=int, default=None)  # child marker
     ap.add_argument("--coordinator", default=None)
-    ap.add_argument("--timeout", type=int, default=300)
+    ap.add_argument("--timeout", type=int, default=900)
     args = ap.parse_args()
 
     if args.process_id is not None:
@@ -91,7 +104,8 @@ def main() -> None:
     procs = [subprocess.Popen(
         [sys.executable, __file__, "--procs", str(args.procs),
          "--local-devices", str(args.local_devices),
-         "--process-id", str(i), "--coordinator", coord],
+         "--process-id", str(i), "--coordinator", coord,
+         "--model-axis", str(args.model_axis)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(args.procs)]
 
@@ -108,7 +122,8 @@ def main() -> None:
           and all(l == l and abs(l) < 1e9 for l in losses))
     print(json.dumps({"ok": ok, "losses": losses, "errors": errs,
                       "procs": args.procs,
-                      "local_devices": args.local_devices}))
+                      "local_devices": args.local_devices,
+                      "model_axis": args.model_axis}))
     sys.exit(0 if ok else 1)
 
 

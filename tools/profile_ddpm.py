@@ -36,25 +36,36 @@ sys.path.insert(0, str(REPO_ROOT))
 
 
 def build_step(family: str, batch: int):
-    """Build (state, jitted_step, dev_batch) for a family, bench.py-style."""
+    """Build (state, jitted_step, dev_batch) for a family, bench.py-style.
+
+    ``family`` is either "ddpm" (the bench.py flagship step, batch
+    overridable) or any experiment key from
+    benchmarks/bench_all_families.py (config-composed, reference batch)."""
     import jax
     import numpy as np
 
-    from igm_tpu.config import to_node
     from igm_tpu.parallel import mesh as mesh_lib
 
-    dm_cfg = to_node({
-        "width": 32, "height": 32, "channels": 3,
-        "transforms": {"convert": True, "normalize": True},
-    })
     if family == "ddpm":
+        from igm_tpu.config import to_node
         from igm_tpu.models.ddpm import DDPM
+        dm_cfg = to_node({
+            "width": 32, "height": 32, "channels": 3,
+            "transforms": {"convert": True, "normalize": True},
+        })
         model = DDPM(datamodule=dm_cfg, hidden_dim=64, timesteps=1000,
                      dim_mults=[1, 2, 4], loss_type="l1", lr=1e-4,
                      b1=0.9, b2=0.999)
         shape = (batch, 32, 32, 3)
     else:
-        raise SystemExit(f"unknown family {family}")
+        sys.path.insert(0, str(REPO_ROOT / "benchmarks"))
+        from bench_all_families import SWEEP
+        from igm_tpu.config import compose, instantiate
+        cfg = compose(REPO_ROOT / "configs",
+                      [*SWEEP[family], "print_config=False"])
+        model = instantiate(cfg.model, datamodule=cfg.datamodule)
+        shape = (int(cfg.datamodule.batch_size), int(cfg.datamodule.height),
+                 int(cfg.datamodule.width), int(cfg.datamodule.channels))
     model.steps_per_epoch = 391
 
     mesh = mesh_lib.make_mesh()
@@ -64,7 +75,7 @@ def build_step(family: str, batch: int):
 
     rng = np.random.default_rng(0)
     batch_np = (rng.integers(0, 255, shape, dtype=np.uint8),
-                np.zeros((shape[0],), np.int32))
+                rng.integers(0, 10, (shape[0],)).astype(np.int32))
     dev_batch = mesh_lib.shard_batch(mesh, batch_np)
     return state, step, dev_batch
 
@@ -147,7 +158,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--family", default="ddpm")
+    ap.add_argument("--family", default="ddpm",
+                    help="'ddpm' (bench.py flagship) or any family key from "
+                         "benchmarks/bench_all_families.py (made, tar, ...)")
     ap.add_argument("--out", default=str(REPO_ROOT / "benchmarks/profiles"))
     ap.add_argument("--parse-only", default=None,
                     help="skip capture; parse this xplane.pb")
