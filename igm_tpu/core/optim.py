@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Iterable, Tuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -46,7 +48,14 @@ def adam(lr, b1: float = 0.9, b2: float = 0.999,
     only for models whose optimizer state dominates the step (MADE's 205M
     output-layer params: +5% step throughput, loss trajectory within
     0.014 bpd of f32 over 100 steps, measured round 2).  Second moments
-    stay f32 (squares need the exponent range)."""
+    stay f32 (squares need the mantissa, not just the exponent).
+
+    ``IGM_MU_DTYPE`` (read at optimizer construction) overrides the
+    per-model default for every family — the A/B lever
+    benchmarks/bf16_moments_ab.py drives."""
+    env = os.environ.get("IGM_MU_DTYPE")
+    if env:
+        mu_dtype = None if env in ("float32", "f32") else jnp.dtype(env)
     return optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=1e-8,
                       mu_dtype=mu_dtype)
 

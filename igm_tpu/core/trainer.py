@@ -341,11 +341,12 @@ class Trainer:
                         max_k: int = 32) -> int:
         """Pick K so one device dispatch covers >= ``target_exec_s`` of
         work.  Per-dispatch overhead through the remote-TPU tunnel is
-        ~2.5 ms (benchmarks/results_round2_chained.json: small families run
-        3-7x faster chained); chaining to 50 ms/dispatch caps that overhead
-        at ~5%.  Steps already >= 20 ms amortise their own dispatch — K=1
-        keeps single-step logging/checkpoint semantics there."""
-        if t_step_s >= 0.020:
+        ~1.7-2.5 ms (round-3 trace: even the 21 ms DDPM step loses ~8% of
+        wall to dispatch); chaining to 50 ms/dispatch caps that overhead
+        at ~5%.  Steps >= 25 ms keep K=1 (their own dispatch share is
+        already <10%, and K=1 avoids a second jit of the chained
+        program)."""
+        if t_step_s >= 0.025:
             return 1
         k = int(round(target_exec_s / max(t_step_s, 1e-4)))
         return max(1, min(max_k, k, max(steps_per_epoch, 1)))
