@@ -139,12 +139,28 @@ def main() -> None:
     mesh = mesh_lib.make_mesh()
     state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
     state = mesh_lib.replicate(mesh, state)
-    step = jax.jit(model.train_step, donate_argnums=0)
 
     rng = np.random.default_rng(0)
     batch = (rng.integers(0, 255, (BATCH, 32, 32, 3), dtype=np.uint8),
              np.zeros((BATCH,), np.int32))
-    dev_batch = mesh_lib.shard_batch(mesh, batch)
+
+    # Chained execution mirrors what a real training run now does:
+    # trainer.steps_per_execution=auto resolves to K=2 for this ~21 ms
+    # step (core/trainer.py resolve_chain_k), halving the ~1.7 ms/step
+    # host-dispatch share the round-3 trace measured.  IGM_BENCH_CHAIN=1
+    # restores the single-dispatch path.
+    default_chain = "2" if jax.default_backend() == "tpu" else "1"
+    CHAIN = int(os.environ.get("IGM_BENCH_CHAIN", default_chain))
+    if CHAIN > 1:
+        step = jax.jit(model.train_step_n, donate_argnums=0)
+        chunk = tuple(np.stack([a] * CHAIN) for a in batch)
+        dev_batch = jax.tree_util.tree_map(
+            lambda x: jax.device_put(np.asarray(x),
+                                     mesh_lib.chunk_batch_sharding(mesh)),
+            chunk)
+    else:
+        step = jax.jit(model.train_step, donate_argnums=0)
+        dev_batch = mesh_lib.shard_batch(mesh, batch)
 
     # FLOPs/step from XLA's own cost analysis of the lowered computation.
     flops_per_step = None
@@ -174,7 +190,8 @@ def main() -> None:
     fence(state)
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = BATCH * ITERS / dt
+    n_steps = ITERS * max(CHAIN, 1)  # each dispatch runs CHAIN train steps
+    imgs_per_sec = BATCH * n_steps / dt
     dev = jax.devices()[0]
     out = {
         "metric": "ddpm_cifar10_train_imgs_per_sec",
@@ -182,7 +199,8 @@ def main() -> None:
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
         "batch": BATCH,
-        "steps_per_sec": round(ITERS / dt, 3),
+        "chain": CHAIN,
+        "steps_per_sec": round(n_steps / dt, 3),
         "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
         # provenance: the denominator is a DOCUMENTED ESTIMATE of the
         # reference's V100 throughput, not a measured number (the reference
@@ -192,8 +210,10 @@ def main() -> None:
         "baseline_doc": "benchmarks/BASELINE_DERIVATION.md",
     }
     if flops_per_step:
+        # XLA cost analysis counts a lax.scan body ONCE, so the chained
+        # program's flops are already per-STEP (tests/test_chained.py)
         peak = _peak_flops(getattr(dev, "device_kind", ""), dev.platform)
-        achieved = flops_per_step * ITERS / dt
+        achieved = flops_per_step * n_steps / dt
         out["flops_per_step"] = round(flops_per_step / 1e9, 2)  # GFLOPs
         out["achieved_tflops"] = round(achieved / 1e12, 2)
         out["mfu"] = round(achieved / peak, 4)

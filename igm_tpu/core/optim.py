@@ -42,8 +42,8 @@ def halving_lr(base_lr: float, drop_lr_epoch: int, steps_per_epoch: int) -> Call
 
 
 # ----------------------------------------------------------------- optimizers
-def adam(lr, b1: float = 0.9, b2: float = 0.999,
-         mu_dtype: Any = None) -> optax.GradientTransformation:
+def adam(lr, b1: float = 0.9, b2: float = 0.999, mu_dtype: Any = None,
+         nu_dtype: Any = None) -> optax.GradientTransformation:
     """``mu_dtype=bfloat16`` halves first-moment HBM traffic — worthwhile
     only for models whose optimizer state dominates the step (MADE's 205M
     output-layer params: +5% step throughput, loss trajectory within
@@ -56,8 +56,53 @@ def adam(lr, b1: float = 0.9, b2: float = 0.999,
     env = os.environ.get("IGM_MU_DTYPE")
     if env:
         mu_dtype = None if env in ("float32", "f32") else jnp.dtype(env)
-    return optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=1e-8,
-                      mu_dtype=mu_dtype)
+    env_nu = os.environ.get("IGM_NU_DTYPE")
+    if env_nu:
+        nu_dtype = None if env_nu in ("float32", "f32") else jnp.dtype(env_nu)
+    if nu_dtype is None:
+        return optax.adam(learning_rate=lr, b1=b1, b2=b2, eps=1e-8,
+                          mu_dtype=mu_dtype)
+    return optax.chain(
+        _scale_by_adam_cast(b1, b2, 1e-8, mu_dtype, nu_dtype),
+        optax.scale_by_learning_rate(lr))
+
+
+def _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype):
+    """optax.scale_by_adam with a castable SECOND moment too.
+
+    optax only exposes mu_dtype; for HBM-bound optimizer states (MADE's
+    822 MB output layer) casting nu to bf16 halves another read+write pair
+    per step.  bf16 keeps f32's exponent range — what squares need — at
+    8 bits of mantissa; accept/reject is by measured trajectory
+    (benchmarks/bf16_moments_ab.py protocol), recorded in NOTES.md."""
+    def cast(x, dt):
+        return x.astype(dt) if dt is not None else x
+
+    def init(params):
+        mu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params)
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params)
+        return optax.ScaleByAdamState(count=jnp.zeros([], jnp.int32),
+                                      mu=mu, nu=nu)
+
+    def update(grads, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        mu = jax.tree_util.tree_map(
+            lambda g, m: cast(b1 * m.astype(g.dtype) + (1 - b1) * g,
+                              mu_dtype), grads, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, n: cast(b2 * n.astype(g.dtype) + (1 - b2) * g * g,
+                              nu_dtype), grads, state.nu)
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        updates = jax.tree_util.tree_map(
+            lambda m, n: (m.astype(jnp.float32) / bc1)
+            / (jnp.sqrt(n.astype(jnp.float32) / bc2) + eps), mu, nu)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def rmsprop(lr, alpha: float = 0.99) -> optax.GradientTransformation:

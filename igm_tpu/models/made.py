@@ -241,12 +241,15 @@ class MADE(BaseModel):
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams
-        # bf16 first moments ride the same measured-bf16 policy as the
-        # GEMM operands (see core/optim.adam docstring for the numbers)
-        mu_dtype = (jnp.bfloat16 if self.modules["net"].dtype is not None
-                    else None)
+        # bf16 moments: the step is HBM-bound on the 822 MB output layer's
+        # optimizer traffic.  mu bf16: +7% (round 2); nu bf16: +8% more
+        # (round 3, 60.5 -> 65.4 steps/s; 100-step bpd trajectory within
+        # 0.005 of f32 at every checkpoint — benchmarks/profiles/ and
+        # NOTES.md).  Both ride only when compute is bf16 (TPU).
+        moment_dtype = (jnp.bfloat16 if self.modules["net"].dtype is not None
+                        else None)
         tx = adam(step_lr(hp.lr, 0.99, self.steps_per_epoch),
-                  mu_dtype=mu_dtype)
+                  mu_dtype=moment_dtype, nu_dtype=moment_dtype)
         self.optimizers = OptimizerSet().add("opt", tx, ["net"])
         return self.make_state(rng, {"net": (jnp.zeros((1, self.in_dim)),)})
 
@@ -288,7 +291,13 @@ class MADE(BaseModel):
 
     def _bpd(self, logits, targets):
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        # one-hot contraction, NOT take_along_axis: the gather forced an
+        # 822 MB layout copy of the logits tensor on TPU (2.5 ms of the
+        # 16.8 ms step, round-3 trace benchmarks/profiles/made_trace.md);
+        # the exact-equivalent one-hot sum fuses into the softmax reduction
+        # (same fix as pixelcnn.py:390)
+        nll = -(logp * jax.nn.one_hot(targets, logp.shape[-1],
+                                      dtype=logp.dtype)).sum(-1)
         return nll.mean(axis=1).mean() / LOG2
 
     # ------------------------------------------------------------------ steps

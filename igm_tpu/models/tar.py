@@ -91,6 +91,7 @@ class TARNet(nn.Module):
     n_classes: int
     dtype: Any = None  # transformer stack compute dtype; logits head f32
     flash: str = "off"
+    dropout: float = 0.1  # torch TransformerEncoderLayer default (parity)
 
     @nn.compact
     def __call__(self, tokens, train: bool = True, decode: bool = False,
@@ -139,6 +140,7 @@ class TARNet(nn.Module):
         x = emb
         for _ in range(self.num_layers):
             x = TransformerEncoderLayer(self.d_model, self.nhead, 1024,
+                                        dropout=self.dropout,
                                         dtype=self.dtype, flash=self.flash)(
                 x, causal, train=train, decode=decode)
         return Dense(self.n_tokens)(x.astype(jnp.float32))
@@ -150,13 +152,14 @@ class TAR(BaseModel):
                  nhead: int = 4, num_layers: int = 4,
                  class_cond: bool = False, n_classes: int = 10,
                  compute_dtype: str = "auto",
-                 flash_attention: Any = "auto"):
+                 flash_attention: Any = "auto", dropout: float = 0.1):
         super().__init__(datamodule)
         self.save_hyperparameters(lr=lr, b1=b1, b2=b2, d_model=d_model,
                                   nhead=nhead, num_layers=num_layers,
                                   class_cond=class_cond, n_classes=n_classes,
                                   compute_dtype=compute_dtype,
-                                  flash_attention=flash_attention)
+                                  flash_attention=flash_attention,
+                                  dropout=dropout)
         # bf16 transformer stack on TPU (params f32, logits head + loss f32)
         # — same policy and validation discipline as DDPM (ddpm.py:46-50)
         if compute_dtype == "auto":
@@ -188,7 +191,8 @@ class TAR(BaseModel):
         self.modules = ModuleDict(
             net=TARNet(self.n_tokens, d_model, nhead, num_layers,
                        self.height, self.width, bool(class_cond),
-                       int(n_classes), dtype=dtype, flash=flash))
+                       int(n_classes), dtype=dtype, flash=flash,
+                       dropout=float(dropout)))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams

@@ -18,3 +18,28 @@ def apply_platform_env() -> None:
             jax.config.update("jax_platforms", want)
         except Exception:
             pass
+    apply_prng_env()
+
+
+def apply_prng_env() -> None:
+    """Default PRNG impl: hardware ``rbg`` on TPU, threefry elsewhere.
+
+    Measured on TAR (dropout-heavy transformer, TPU v5 lite, batch 128):
+    threefry RNG generation costs 41 ms of the 139 ms step; rbg removes it
+    (7.2 -> 10.3 steps/s, +43%).  Distribution-parity is preserved —
+    dropout stays iid Bernoulli; only the stream changes (the reference's
+    cuRAND Philox is a different stream too).  ``IGM_PRNG=<impl>``
+    overrides (e.g. threefry2x32 for cross-platform stream reproduction).
+    Must run before the first PRNGKey is created."""
+    import jax
+    impl = os.environ.get("IGM_PRNG")
+    if not impl:
+        try:
+            impl = "rbg" if jax.default_backend() == "tpu" else None
+        except Exception:
+            impl = None
+    if impl:
+        try:
+            jax.config.update("jax_default_prng_impl", impl)
+        except Exception:
+            pass
