@@ -57,7 +57,18 @@ class TransformerEncoderLayer(nn.Module):
         use_flash = (not decode) and (
             self.flash == "always"
             or (self.flash == "eval" and not dropout_active))
-        if use_flash:
+        if self.flash == "dropout" and not decode:
+            # round-3 kernel: causal attention + probs dropout fused in
+            # VMEM (ops/pallas_dropout_attention.py) — keeps torch's
+            # in-attention dropout SEMANTICS (iid Bernoulli on normalised
+            # probs) without materialising the (B,H,S,S) probs/mask
+            from ..ops.causal_attention import dropout_flash_attention_fn
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead, qkv_features=self.d_model,
+                dropout_rate=self.dropout, deterministic=not train,
+                decode=False, dtype=self.dtype,
+                attention_fn=dropout_flash_attention_fn)
+        elif use_flash:
             from ..ops.causal_attention import flash_attention_fn
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.nhead, qkv_features=self.d_model,
@@ -177,6 +188,10 @@ class TAR(BaseModel):
             flash = "always"
         elif flash_attention == "eval":
             flash = "eval"
+        elif flash_attention == "dropout":
+            # round-3: fused causal-attention-with-probs-dropout kernel
+            # (semantics-preserving flash; see TransformerEncoderLayer)
+            flash = "dropout"
         else:
             flash = "off"
         if flash != "off" and jax.default_backend() != "tpu":

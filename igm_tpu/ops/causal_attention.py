@@ -87,3 +87,26 @@ def flash_attention_fn(query, key, value, bias=None, mask=None,
         ok = jnp.all(mask.astype(bool).reshape(-1, s, s) == causal[None])
         out = jnp.where(ok, out, jnp.nan)
     return out
+
+
+def dropout_flash_attention_fn(query, key, value, bias=None, mask=None,
+                               broadcast_dropout=True, dropout_rng=None,
+                               dropout_rate=0.0, deterministic=True,
+                               dtype=None, precision=None, module=None,
+                               force_fp32_for_softmax=False):
+    """``attention_fn`` with IN-KERNEL attention-probs dropout.
+
+    Drop-in for flax ``MultiHeadDotProductAttention`` on the TAR train
+    path: causal attention + probs dropout in one Pallas kernel — the
+    (B, H, S, S) probs/mask tensors never touch HBM
+    (ops/pallas_dropout_attention.py).  The caller's ``mask`` must be the
+    causal mask (TAR's is; the kernel computes causality itself).  Eval
+    (deterministic) runs the same kernel at rate 0 == exact flash.
+    """
+    assert bias is None, "dropout-flash path does not support bias"
+    from .pallas_dropout_attention import flash_causal_attention_dropout
+    rate = 0.0 if (deterministic or dropout_rng is None) \
+        else float(dropout_rate)
+    seed = (jax.random.bits(dropout_rng, dtype=jnp.uint32)
+            if rate > 0.0 else jnp.zeros((), jnp.uint32))
+    return flash_causal_attention_dropout(query, key, value, seed, rate)
