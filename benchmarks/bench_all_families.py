@@ -146,15 +146,19 @@ def main() -> None:
     ap.add_argument("--out", default="")
     ap.add_argument("--no-isolate", dest="isolate", action="store_false",
                     help="run families in-process (default: subprocess each)")
+    ap.add_argument("--no-probe", dest="probe", action="store_false",
+                    help="skip the wedge-probe (child processes: the parent "
+                         "already probed; re-probing under load flakes)")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
-    import bench as bench_mod  # reuse the wedge-safe probe
-    try:
-        info = bench_mod.probe_device()
-    except Exception as exc:
-        print(json.dumps({"error": f"device probe failed: {exc}"}))
-        sys.exit(2)
+    if args.probe:
+        import bench as bench_mod  # reuse the wedge-safe probe
+        try:
+            bench_mod.probe_device()
+        except Exception as exc:
+            print(json.dumps({"error": f"device probe failed: {exc}"}))
+            sys.exit(2)
 
     from igm_tpu.utils.platform import apply_platform_env
     apply_platform_env()
@@ -179,7 +183,7 @@ def main() -> None:
                 cmd = [sys.executable, __file__, "--families", fam,
                        "--iters", str(args.iters), "--warmup",
                        str(args.warmup), "--chain", str(args.chain),
-                       "--no-isolate"]
+                       "--no-isolate", "--no-probe"]
                 proc = subprocess.run(cmd, capture_output=True, text=True,
                                       timeout=1800)
                 line = proc.stdout.strip().splitlines()[-1]

@@ -57,7 +57,18 @@ class TransformerEncoderLayer(nn.Module):
         use_flash = (not decode) and (
             self.flash == "always"
             or (self.flash == "eval" and not dropout_active))
-        if self.flash == "dropout" and not decode:
+        if self.flash == "hashdrop" and not decode:
+            # round-3 default on TPU: XLA attention with FUSIBLE hash-based
+            # probs dropout — no mask/RNG tensors (see
+            # ops/causal_attention.hash_dropout_attention_fn for why this
+            # beats a flash kernel at TAR's compute-bound shapes)
+            from ..ops.causal_attention import hash_dropout_attention_fn
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead, qkv_features=self.d_model,
+                dropout_rate=self.dropout, deterministic=not train,
+                decode=False, dtype=self.dtype,
+                attention_fn=hash_dropout_attention_fn)
+        elif self.flash == "dropout" and not decode:
             # round-3 kernel: causal attention + probs dropout fused in
             # VMEM (ops/pallas_dropout_attention.py) — keeps torch's
             # in-attention dropout SEMANTICS (iid Bernoulli on normalised
@@ -192,9 +203,12 @@ class TAR(BaseModel):
             # round-3: fused causal-attention-with-probs-dropout kernel
             # (semantics-preserving flash; see TransformerEncoderLayer)
             flash = "dropout"
+        elif flash_attention == "hashdrop":
+            flash = "hashdrop"
         else:
             flash = "off"
-        if flash != "off" and jax.default_backend() != "tpu":
+        if flash not in ("off", "hashdrop") \
+                and jax.default_backend() != "tpu":
             import logging
             logging.getLogger(__name__).warning(
                 "flash_attention=%s requested but backend is %s — the "

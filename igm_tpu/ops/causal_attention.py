@@ -110,3 +110,56 @@ def dropout_flash_attention_fn(query, key, value, bias=None, mask=None,
     seed = (jax.random.bits(dropout_rng, dtype=jnp.uint32)
             if rate > 0.0 else jnp.zeros((), jnp.uint32))
     return flash_causal_attention_dropout(query, key, value, seed, rate)
+
+
+def hash_dropout_attention_fn(query, key, value, bias=None, mask=None,
+                              broadcast_dropout=True, dropout_rng=None,
+                              dropout_rate=0.0, deterministic=True,
+                              dtype=None, precision=None, module=None,
+                              force_fp32_for_softmax=False):
+    """XLA attention with FUSIBLE hash-based probs dropout (TAR default).
+
+    At TAR's shapes (S=785, batch 128) attention is COMPUTE-bound: the
+    probs tensor is ~0.8 ms of HBM traffic per layer while its GEMMs are
+    several ms — so a flash kernel buys nothing (measured round 3:
+    the Pallas kernel at 18.5 ms/layer fwd+bwd vs XLA's ~8).  What the
+    stock path DOES waste is the dropout machinery: a materialised
+    bernoulli mask tensor + threefry bits (~21 ms/step).  Here the mask is
+    an ELEMENTWISE function of (seed, q index, k index) — the same
+    murmur-style counter hash as the Pallas kernel — which XLA fuses
+    straight into the softmax consumer chain: no mask tensor, no RNG
+    tensors, recomputed (not stored) in the backward.
+
+    Distribution parity: iid Bernoulli(keep) on the normalised probs,
+    exactly torch's in-attention dropout semantics (different stream, as
+    cuRAND's is).
+    """
+    assert bias is None, "hash-dropout path does not support attention bias"
+    from flax.linen.attention import dot_product_attention_weights
+
+    from .pallas_dropout_attention import _hash_bits
+
+    b, s, h, d = query.shape
+    # flax's own weights computation (its einsum/softmax structure is what
+    # XLA fuses best — a hand-rolled f32 einsum chain measured 6.3 vs
+    # 10.3 steps/s on the full TAR step), dropout DISABLED here...
+    probs = dot_product_attention_weights(
+        query, key, bias=None, mask=mask, dropout_rate=0.0,
+        deterministic=True, dtype=dtype or query.dtype,
+        precision=precision)
+    # ...and re-applied as an elementwise hash of (seed, b, h, q, k):
+    # fuses into the probs consumer chain, no mask/RNG tensors, the
+    # backward recomputes it from iotas instead of storing it
+    if not deterministic and dropout_rate > 0.0 and dropout_rng is not None:
+        keep = 1.0 - float(dropout_rate)
+        seed = jax.random.bits(dropout_rng, dtype=jnp.uint32)
+        qi = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, s, s), 2)
+        kj = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, s, s), 3)
+        bh = (jax.lax.broadcasted_iota(jnp.uint32, (b, h, 1, 1), 0) * h
+              + jax.lax.broadcasted_iota(jnp.uint32, (b, h, 1, 1), 1))
+        bits = _hash_bits(seed + bh, qi, kj)
+        thresh = jnp.uint32(min(int(dropout_rate * 2 ** 32), 2 ** 32 - 1))
+        probs = jnp.where(bits >= thresh,
+                          probs / jnp.asarray(keep, probs.dtype),
+                          jnp.zeros((), probs.dtype))
+    return jnp.einsum("...hqk,...khd->...qhd", probs, value)
