@@ -145,11 +145,15 @@ def main() -> None:
              np.zeros((BATCH,), np.int32))
 
     # Chained execution mirrors what a real training run now does:
-    # trainer.steps_per_execution=auto resolves to K=2 for this ~21 ms
-    # step (core/trainer.py resolve_chain_k), halving the ~1.7 ms/step
-    # host-dispatch share the round-3 trace measured.  IGM_BENCH_CHAIN=1
-    # restores the single-dispatch path.
-    default_chain = "2" if jax.default_backend() == "tpu" else "1"
+    # trainer.steps_per_execution=auto applies the resolve_chain_k policy
+    # (dispatch overhead <= 2% of covered work; the ~21 ms flagship step
+    # chains K=6 against the ~2.7 ms/dispatch tunnel overhead the round-3
+    # trace measured).  IGM_BENCH_CHAIN=1 restores single-dispatch.
+    if jax.default_backend() == "tpu":
+        from igm_tpu.core.trainer import Trainer
+        default_chain = str(Trainer.resolve_chain_k(0.021, 391))
+    else:
+        default_chain = "1"
     CHAIN = int(os.environ.get("IGM_BENCH_CHAIN", default_chain))
     if CHAIN > 1:
         step = jax.jit(model.train_step_n, donate_argnums=0)

@@ -337,19 +337,22 @@ class Trainer:
     # ------------------------------------------------- auto step chaining
     @staticmethod
     def resolve_chain_k(t_step_s: float, steps_per_epoch: int,
-                        target_exec_s: float = 0.050,
+                        dispatch_s: float = 0.0025,
+                        max_overhead: float = 0.02,
                         max_k: int = 32) -> int:
-        """Pick K so one device dispatch covers >= ``target_exec_s`` of
-        work.  Per-dispatch overhead through the remote-TPU tunnel is
-        ~1.7-2.5 ms (round-3 trace: even the 21 ms DDPM step loses ~8% of
-        wall to dispatch); chaining to 50 ms/dispatch caps that overhead
-        at ~5%.  Steps >= 25 ms keep K=1 (their own dispatch share is
-        already <10%, and K=1 avoids a second jit of the chained
-        program)."""
-        if t_step_s >= 0.025:
-            return 1
-        k = int(round(target_exec_s / max(t_step_s, 1e-4)))
-        return max(1, min(max_k, k, max(steps_per_epoch, 1)))
+        """Pick K so per-dispatch overhead is <= ``max_overhead`` of the
+        work it covers: K = ceil(dispatch / (max_overhead * t_step)).
+
+        Per-dispatch overhead through the remote-TPU tunnel is ~1.7-2.7 ms
+        (round-3 trace; re-measured on the flagship at K=2: wall 20.75 ms
+        vs device-busy 19.38 ms => ~2.7 ms/dispatch).  Under this policy
+        the 21 ms flagship step chains K=6 (~2% overhead), a 3 ms GAN step
+        hits the K=32 cap, and steps >= 125 ms stay K=1 because their own
+        dispatch share is already under the target.  The round-2 flat
+        50 ms-per-dispatch target left 4-8% of wall on the table for
+        20-30 ms steps (and pinned K=1 above 25 ms)."""
+        k = -(-dispatch_s // (max_overhead * max(t_step_s, 1e-4)))
+        return max(1, min(max_k, int(k), max(steps_per_epoch, 1)))
 
     def _auto_steps_per_execution(self, model, state, train_arrays,
                                   batch_size: int,

@@ -133,10 +133,10 @@ def test_resolve_chain_k():
     from igm_tpu.core.trainer import Trainer
 
     r = Trainer.resolve_chain_k
-    assert r(0.030, 1000) == 1          # big step amortises its own dispatch
-    assert r(0.021, 1000) == 2          # flagship DDPM: halve dispatch share
-    assert r(0.003, 1000) == 17         # ~50 ms / 3 ms
-    assert r(0.0005, 1000) == 32        # capped
+    assert r(0.125, 1000) == 1          # dispatch share already <= 2%
+    assert r(0.030, 1000) == 5          # 2.5 ms dispatch / (2% of 30 ms)
+    assert r(0.021, 1000) == 6          # flagship DDPM: ~2% overhead
+    assert r(0.003, 1000) == 32         # small steps hit the cap
     assert r(0.0005, 5) == 5            # capped by epoch length
     assert r(0.0005, 0) == 1
 

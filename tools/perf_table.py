@@ -1,5 +1,12 @@
 #!/usr/bin/env python
-"""Render benchmarks/results_round2*.json as the README markdown table.
+"""Render benchmarks/results_round3*.json as the README markdown table.
+
+Round 3 made dispatch-chained execution the DEFAULT training path
+(trainer.steps_per_execution=auto, core/trainer.py resolve_chain_k), so
+the headline per-family numbers are the chained sweep
+(results_round3.json, K=8); the single-dispatch column is kept for the
+AR families whose wall docs (docs/MFU_AR.md) discuss it
+(results_round3_ar_single.json).
 
     python tools/perf_table.py
 """
@@ -20,24 +27,20 @@ def load_rows(path: Path) -> dict:
 
 
 def main() -> None:
-    plain = load_rows(BENCH / "results_round2.json")
-    plain.update(load_rows(BENCH / "results_round2_stragglers.json"))
-    chained = load_rows(BENCH / "results_round2_chained.json")
+    chained = load_rows(BENCH / "results_round3.json")
+    single = load_rows(BENCH / "results_round3_ar_single.json")
 
-    print("| family | batch | steps/s | imgs/s | chained K=8 steps/s | "
-          "GFLOPs/step | TF/s (chained) |")
+    print("| family | batch | steps/s (K=8 chained) | imgs/s | "
+          "single-dispatch steps/s | GFLOPs/step | TF/s |")
     print("|---|---|---|---|---|---|---|")
-    for fam, row in plain.items():
-        ch = chained.get(fam, {})
+    for fam, row in chained.items():
+        sg = single.get(fam, {})
+        sg_txt = (f"{sg['steps_per_sec']:.0f}" if sg else "—")
         print(f"| {fam} | {row['batch']} | {row['steps_per_sec']:.0f} "
               f"| {row['imgs_per_sec']:,.0f} "
-              f"| {ch.get('steps_per_sec', float('nan')):.0f} "
+              f"| {sg_txt} "
               f"| {row.get('flops_per_step_g', 0):.1f} "
-              f"| {ch.get('achieved_tflops', row.get('achieved_tflops', 0)):.1f} |")
-
-    missing = set(plain) ^ set(chained)
-    if missing:
-        print(f"\n<!-- families missing from one sweep: {sorted(missing)} -->")
+              f"| {row.get('achieved_tflops', 0):.1f} |")
 
 
 if __name__ == "__main__":
