@@ -56,6 +56,23 @@ def main() -> None:
         "timesteps": 1000,
     }))
 
+    # DDIM-50 (beyond-parity fast sampler, models/ddpm.py ddim_sample)
+    ddim = jax.jit(lambda s, r: model.ddim_sample(s, r, BATCH, steps=50))
+    out = ddim(state, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = ddim(state, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "ddpm_cifar10_ddim50_samples_per_sec",
+        "value": round(BATCH * iters / dt, 3),
+        "unit": "samples/sec",
+        "batch": BATCH,
+        "timesteps": 50,
+    }))
+
 
 if __name__ == "__main__":
     main()
