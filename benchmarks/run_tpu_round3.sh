@@ -12,21 +12,29 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
 
 stamp() { date +%H:%M:%S; }
 
-echo "[$(stamp)] 1/4 headline bench (DDPM CIFAR-10, chain=2 default)"
+echo "[$(stamp)] 1/6 headline bench (DDPM CIFAR-10, auto chain policy)"
 python bench.py > "$OUT/bench_headline_round3.json" 2> "$OUT/bench_headline_round3.err"
 echo "rc=$? $(cat "$OUT/bench_headline_round3.json")"
 
-echo "[$(stamp)] 2/4 all-family sweep, chained K=8 (trainer auto path)"
+echo "[$(stamp)] 2/6 all-family sweep, chained K=8 (trainer auto path)"
 python benchmarks/bench_all_families.py --iters 25 --chain 8 \
     --out "$OUT/results_round3.json" 2> "$OUT/sweep_round3.err"
 echo "rc=$?"
 
-echo "[$(stamp)] 3/4 AR families single-dispatch (for the wall docs)"
+echo "[$(stamp)] 3/6 AR families single-dispatch (for the wall docs)"
 python benchmarks/bench_all_families.py --iters 25 \
     --families made,pixelcnn,tar \
     --out "$OUT/results_round3_ar_single.json" 2>> "$OUT/sweep_round3.err"
 echo "rc=$?"
 
-echo "[$(stamp)] 4/4 refresh per-family baseline table"
+echo "[$(stamp)] 4/6 refresh per-family baseline table"
 python benchmarks/derive_baselines.py > "$OUT/baseline_table_round3.md"
+
+echo "[$(stamp)] 5/6 sampling bench (ancestral + DDIM-50)"
+python benchmarks/bench_sampling.py > "$OUT/sampling_round3.json" 2>/dev/null
+echo "rc=$?"
+
+echo "[$(stamp)] 6/6 MADE batch-scaling lever"
+python benchmarks/made_batch_scaling.py > "$OUT/made_batch_scaling.jsonl" 2>/dev/null
+echo "rc=$?"
 echo "[$(stamp)] done — artifacts in $OUT"
