@@ -65,9 +65,28 @@ def _yaml_load(text: str) -> Any:
     return yaml.load(text, Loader=_YamlLoader)
 _INTERP_RE = re.compile(r"\$\{([^${}]+)\}")
 
-# Groups owned by Hydra's own machinery in the reference tree; their override
-# entries (colorlog logging, joblib launcher) have no equivalent here.
-_IGNORED_GROUP_PREFIXES = ("hydra/",)
+# Groups owned by Hydra's own machinery.  Logging-color groups have no
+# equivalent here and are ignored; the launcher/sweeper plugin groups the
+# reference declares (`configs/config.yaml:18`, `requirements.txt:10-11`)
+# ARE honoured - they select from the built-in plugin configs below (a
+# `configs/hydra/<sub>/<name>.yaml` file, if present, overrides the
+# built-in), composing into the `hydra.<sub>` package like real Hydra.
+_PLUGIN_GROUPS = ("hydra/launcher", "hydra/sweeper")
+_PLUGIN_BUILTINS: Dict[Tuple[str, str], Dict[str, Any]] = {
+    ("launcher", "basic"): {"_target_": "basic"},
+    ("launcher", "joblib"): {"_target_": "joblib", "n_jobs": -1,
+                             "backend": "processes", "verbose": 0},
+    ("sweeper", "basic"): {"_target_": "basic"},
+    ("sweeper", "optuna"): {"_target_": "optuna", "direction": "minimize",
+                            "study_name": None, "storage": None,
+                            "n_trials": 20, "n_jobs": 1, "sampler": "tpe",
+                            "seed": None, "n_startup_trials": 10,
+                            "search_space": {}},
+}
+
+
+def _is_ignored_group(group: str) -> bool:
+    return group.startswith("hydra/") and group not in _PLUGIN_GROUPS
 
 
 class ComposeError(RuntimeError):
@@ -171,7 +190,7 @@ class Composer:
         for e in root_entries:
             if e.is_self or e.group is None:
                 continue
-            if e.group.startswith(_IGNORED_GROUP_PREFIXES):
+            if _is_ignored_group(e.group):
                 continue
             sel[e.group] = (e.name, 0)
             order.append(e.group)
@@ -181,7 +200,7 @@ class Composer:
             sel[g] = (n, 3)
 
         def propose(group: str, name: Optional[str], rank: int) -> None:
-            if group.startswith(_IGNORED_GROUP_PREFIXES):
+            if _is_ignored_group(group):
                 return
             cur = sel.get(group)
             if cur is None or rank >= cur[1]:
@@ -195,8 +214,8 @@ class Composer:
             before = dict(sel)
             for group in list(order):
                 name = sel[group][0]
-                if name is None:
-                    continue
+                if name is None or group in _PLUGIN_GROUPS:
+                    continue  # plugin configs carry no nested defaults
                 path = self._group_file(group, name)
                 if not path.exists():
                     raise ComposeError(f"missing config: {path}")
@@ -210,6 +229,24 @@ class Composer:
         return {g: sel[g][0] for g in order}
 
     # ------------------------------------------------------------------ merge
+    def _merge_plugin_group(self, result: ConfigNode, group: str,
+                            name: str) -> ConfigNode:
+        sub = group.split("/", 1)[1]  # launcher | sweeper
+        path = self._group_file(group, name)
+        if path.exists():
+            body, _pkg = _load_yaml(path)
+            body.pop("defaults", None)
+        else:
+            builtin = _PLUGIN_BUILTINS.get((sub, name))
+            if builtin is None:
+                raise ComposeError(
+                    f"unknown hydra/{sub} plugin {name!r} "
+                    f"(no {path} and no built-in)")
+            body = to_node(builtin)
+        target = ConfigNode()
+        target["hydra"] = ConfigNode({sub: body})
+        return deep_merge(result, target)
+
     def _merge_group(self, result: ConfigNode, group: str, name: str) -> ConfigNode:
         path = self._group_file(group, name)
         body, package = _load_yaml(path)
@@ -245,7 +282,8 @@ class Composer:
             if "=" not in ov:
                 raise ComposeError(f"override must be key=value: {ov!r}")
             key, value = ov.split("=", 1)
-            if "." not in key and self._is_group(key):
+            if key in _PLUGIN_GROUPS or (
+                    "." not in key and self._is_group(key)):
                 cli_groups[key] = None if value in ("null", "None") else value
             else:
                 cli_values.append((mode, key, _parse_cli_value(value)))
@@ -261,15 +299,21 @@ class Composer:
                 self_body = root_body.copy()
                 self_body.pop("defaults", None)
                 result = deep_merge(result, self_body)
-            elif e.group and not e.group.startswith(_IGNORED_GROUP_PREFIXES):
+            elif e.group and not _is_ignored_group(e.group):
                 name = selections.get(e.group)
                 merged_groups.add(e.group)
                 if name is not None:
-                    result = self._merge_group(result, e.group, name)
+                    if e.group in _PLUGIN_GROUPS:
+                        result = self._merge_plugin_group(result, e.group, name)
+                    else:
+                        result = self._merge_group(result, e.group, name)
         # CLI-added groups not present in the root list
         for g, name in selections.items():
             if g not in merged_groups and name is not None:
-                result = self._merge_group(result, g, name)
+                if g in _PLUGIN_GROUPS:
+                    result = self._merge_plugin_group(result, g, name)
+                else:
+                    result = self._merge_group(result, g, name)
 
         for mode, path, value in cli_values:
             if mode == "del":

@@ -2,10 +2,15 @@
 """CLI entrypoint (parity: /root/reference/run.py).
 
     python run.py experiment=ddpm/cifar10 [model.lr=1e-3] [trainer.max_epochs=5]
-    python run.py -m experiment=vae/mnist_mlp model.lr=1e-3,5e-4   # sweep
+    python run.py -m experiment=vae/mnist_mlp model.lr=1e-3,5e-4       # grid sweep
+    python run.py -m hydra/sweeper=optuna hydra.sweeper.n_trials=20 \
+        experiment=vae/mnist_mlp 'model.lr=tag(log, interval(1e-4,1e-2))'  # TPE
 
 Composes configs/ (Hydra-compatible), chdirs into the per-run log dir
-(logs/runs/<exp_name>), then calls igm_tpu.train.train.
+(logs/runs/<exp_name>), then calls igm_tpu.train.train.  Multiruns go
+through the sweeper (basic cartesian grid, or the optuna-style TPE study)
+and the launcher (sequential, or joblib-style parallel subprocesses -
+`configs/config.yaml:18` parity).
 """
 from __future__ import annotations
 
@@ -18,30 +23,12 @@ REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
 
 from igm_tpu.config import compose, select  # noqa: E402
+from igm_tpu.sweep import (Job, Study, dist_from_config, format_value,  # noqa: E402
+                           launch, parse_override, write_result)
 from igm_tpu.utils.utils import print_config  # noqa: E402
 
 
-def _expand_multirun(overrides):
-    """`a=1,2 b=x,y` -> cartesian product of single-value override lists."""
-    keys, value_lists = [], []
-    for ov in overrides:
-        if "=" in ov and "," in ov.split("=", 1)[1]:
-            k, v = ov.split("=", 1)
-            keys.append(k)
-            value_lists.append(v.split(","))
-        else:
-            keys.append(None)
-            value_lists.append([ov])
-    runs = []
-    for combo in itertools.product(*value_lists):
-        run = []
-        for k, v in zip(keys, combo):
-            run.append(f"{k}={v}" if k is not None else v)
-        runs.append(run)
-    return runs
-
-
-def _single_run(overrides, multirun_subdir=None) -> None:
+def _single_run(overrides, multirun_subdir=None):
     cfg = compose(REPO_ROOT / "configs", overrides)
     if cfg.get("print_config"):
         print_config(cfg, resolve=True)
@@ -64,8 +51,95 @@ def _single_run(overrides, multirun_subdir=None) -> None:
         result = train(cfg)
         if result is not None:
             print(f"optimized_metric: {result}")
+            write_result(Path(os.getcwd()), result)
+        return result
     finally:
         os.chdir(cwd)
+
+
+def _partition_sweep(overrides):
+    """Split CLI tokens into fixed overrides and (key, Dist) sweep dims."""
+    fixed, swept = [], []
+    for ov in overrides:
+        key, dist = parse_override(ov)
+        if dist is None:
+            fixed.append(ov)
+        else:
+            swept.append((key, dist))
+    return fixed, swept
+
+
+def _multirun(args) -> None:
+    fixed, swept = _partition_sweep(args)
+    cfg = compose(REPO_ROOT / "configs", fixed)
+    sweeper = select(cfg, "hydra.sweeper", None) or {"_target_": "basic"}
+    launcher = select(cfg, "hydra.launcher", None) or {"_target_": "basic"}
+    sweep_dir = Path(str(select(cfg, "hydra.sweep.dir", "logs/multiruns")))
+    if str(sweeper.get("_target_")) == "optuna":
+        _optuna_sweep(fixed, swept, sweeper, launcher, sweep_dir)
+    else:
+        _grid_sweep(fixed, swept, launcher, sweep_dir)
+
+
+def _launch(jobs, launcher, sweep_dir):
+    return launch(jobs, launcher, sweep_dir, REPO_ROOT / "run.py",
+                  run_inline=lambda job: _single_run(job.overrides,
+                                                     multirun_subdir=job.subdir))
+
+
+def _grid_sweep(fixed, swept, launcher, sweep_dir) -> None:
+    grids = [[f"{k}={format_value(v)}" for v in d.grid()] for k, d in swept]
+    jobs = []
+    for i, combo in enumerate(itertools.product(*grids)):
+        jobs.append(Job(overrides=fixed + list(combo), subdir=str(i)))
+    for i, job in enumerate(jobs):
+        print(f"--- multirun job {i}: {job.overrides}")
+    _launch(jobs, launcher, sweep_dir)
+
+
+def _optuna_sweep(fixed, swept, sweeper, launcher, sweep_dir) -> None:
+    space = dict(swept)
+    for key, node in dict(sweeper.get("search_space") or {}).items():
+        space.setdefault(key, dist_from_config(node))
+    if not space:
+        raise SystemExit("hydra/sweeper=optuna needs at least one sweep "
+                         "dimension, e.g. 'model.lr=interval(1e-4,1e-2)'")
+    direction = str(sweeper.get("direction", "minimize"))
+    study = Study(space, direction=direction,
+                  sampler=str(sweeper.get("sampler", "tpe")),
+                  seed=sweeper.get("seed"),
+                  n_startup_trials=int(sweeper.get("n_startup_trials", 10)))
+    n_trials = int(sweeper.get("n_trials", 20))
+    n_jobs = max(1, int(sweeper.get("n_jobs", 1)))
+    done = 0
+    while done < n_trials:
+        batch = [study.ask() for _ in range(min(n_jobs, n_trials - done))]
+        jobs = [Job(overrides=fixed + [f"{k}={format_value(v)}"
+                                       for k, v in t.params.items()],
+                    subdir=str(t.number))
+                for t in batch]
+        for t, job in zip(batch, jobs):
+            print(f"--- optuna trial {t.number}: {job.overrides}")
+        values = _launch(jobs, launcher, sweep_dir)
+        for t, v in zip(batch, values):
+            study.tell(t, v)
+            print(f"--- optuna trial {t.number} value: {v}")
+        done += len(batch)
+    try:
+        best = study.best_trial
+    except RuntimeError:
+        raise SystemExit(
+            "optuna sweep: no trial returned an objective - set "
+            "`+optimized_metric=<logged metric>` (e.g. "
+            "val_log/log_p_x_of_z) so train() returns a value to optimize")
+    print(f"Best value: {best.value} (trial {best.number})")
+    print(f"Best params: {best.params}")
+    results = {"name": "optuna", "best_value": best.value,
+               "best_params": {k: v for k, v in best.params.items()}}
+    import yaml
+    os.makedirs(sweep_dir, exist_ok=True)
+    (sweep_dir / "optimization_results.yaml").write_text(
+        yaml.safe_dump(results, sort_keys=False))
 
 
 def main() -> None:
@@ -75,10 +149,7 @@ def main() -> None:
         multirun = True
         args = args[1:]
     if multirun:
-        runs = _expand_multirun(args)
-        for i, run in enumerate(runs):
-            print(f"--- multirun job {i}: {run}")
-            _single_run(run, multirun_subdir=str(i))
+        _multirun(args)
     else:
         _single_run(args)
 

@@ -1,0 +1,182 @@
+"""Sweep stack tests: override grammar, TPE study, composer plugin groups,
+and the CLI optuna/joblib paths.
+
+Parity surface: hydra-optuna-sweeper + hydra-joblib-launcher, declared at
+/root/reference/requirements.txt:10-11 and configs/config.yaml:18.
+"""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from igm_tpu.sweep import Dist, Study, dist_from_config, parse_override
+from igm_tpu.config import compose, select
+
+FAST = ["trainer.max_epochs=1", "trainer.limit_train_batches=2",
+        "trainer.limit_val_batches=1", "datamodule.batch_size=16",
+        "trainer.enable_checkpointing=False", "print_config=False"]
+
+
+def _env():
+    env = dict(os.environ)
+    env.update(IGM_PLATFORM="cpu", IGM_SYNTHETIC_DATA="1",
+               JAX_PLATFORMS="cpu")
+    return env
+
+
+# ---------------------------------------------------------------- grammar
+def test_parse_interval():
+    key, d = parse_override("model.lr=interval(1e-4,1e-1)")
+    assert key == "model.lr" and d.kind == "float" and not d.log
+    assert d.low == 1e-4 and d.high == 1e-1
+
+
+def test_parse_tag_log_interval():
+    _, d = parse_override("model.lr=tag(log, interval(1e-4,1e-1))")
+    assert d.kind == "float" and d.log
+
+
+def test_parse_range_exclusive_upper():
+    _, d = parse_override("model.hidden=range(32,256,32)")
+    assert d.kind == "int"
+    assert d.grid() == [32, 64, 96, 128, 160, 192, 224]
+
+
+def test_parse_choice_and_comma_list():
+    _, d = parse_override("model.act=choice(relu,tanh)")
+    assert d.choices == ["relu", "tanh"]
+    _, d = parse_override("model.lr=1e-3,5e-4")
+    assert d.kind == "categorical" and d.choices == [1e-3, 5e-4]
+
+
+def test_parse_fixed_values_not_swept():
+    for tok in ("model.lr=1e-3", "experiment=vae/mnist_mlp",
+                "model.dim_mults=[1,2,4]", "+extra.k=v", "~dead.key"):
+        _, d = parse_override(tok)
+        assert d is None, tok
+
+
+def test_dist_from_search_space_config():
+    d = dist_from_config({"type": "float", "low": 1e-4, "high": 1e-1,
+                          "log": True})
+    assert d.kind == "float" and d.log
+    d = dist_from_config({"type": "categorical", "choices": [1, 2]})
+    assert d.choices == [1, 2]
+
+
+# -------------------------------------------------------------------- TPE
+def _objective(params):
+    # optimum at lr=1e-2, hidden=96, act=tanh
+    lr_term = (np.log10(params["lr"]) + 2.0) ** 2
+    hid_term = ((params["hidden"] - 96) / 64.0) ** 2
+    act_term = 0.0 if params["act"] == "tanh" else 0.5
+    return lr_term + hid_term + act_term
+
+
+SPACE = {
+    "lr": Dist(kind="float", low=1e-5, high=1e-1, log=True),
+    "hidden": Dist(kind="int", low=32, high=255, step=32),
+    "act": Dist(kind="categorical", choices=["relu", "tanh"]),
+}
+
+
+def _run_study(sampler, n=40, seed=0):
+    study = Study(SPACE, sampler=sampler, seed=seed, n_startup_trials=10)
+    for _ in range(n):
+        t = study.ask()
+        study.tell(t, _objective(t.params))
+    return study
+
+
+def test_tpe_converges():
+    bests = [_run_study("tpe", seed=s).best_trial.value for s in range(4)]
+    # deterministic; measured [0.25, 0.001, 0.002, 0.007] at gamma=0.1/48cand
+    assert min(bests) < 0.01 and np.mean(bests) < 0.15, bests
+    study = _run_study("tpe")
+    # TPE respects dimension domains
+    for t in study.trials:
+        assert 1e-5 <= t.params["lr"] <= 1e-1
+        assert t.params["hidden"] in SPACE["hidden"].grid() or \
+            32 <= t.params["hidden"] <= 255
+        assert t.params["act"] in ("relu", "tanh")
+
+
+def test_tpe_beats_or_matches_random():
+    # deterministic seeds; TPE exploitation should not lose badly
+    tpe = min(_run_study("tpe", seed=s).best_trial.value for s in (0, 1))
+    rnd = min(_run_study("random", seed=s).best_trial.value for s in (0, 1))
+    assert tpe <= rnd * 1.5 + 0.05
+
+
+def test_failed_trials_are_skipped():
+    study = Study(SPACE, seed=0)
+    t = study.ask()
+    study.tell(t, None)
+    t2 = study.ask()
+    study.tell(t2, 1.0)
+    assert study.best_trial.number == t2.number
+
+
+def test_maximize_direction():
+    study = Study({"x": Dist(kind="float", low=0, high=1)},
+                  direction="maximize", seed=0, n_startup_trials=5)
+    for _ in range(20):
+        t = study.ask()
+        study.tell(t, -(t.params["x"] - 0.7) ** 2)
+    assert abs(study.best_trial.params["x"] - 0.7) < 0.2
+
+
+# -------------------------------------------------- composer plugin groups
+def test_composer_builtin_plugin_groups(config_dir):
+    cfg = compose(config_dir, ["hydra/sweeper=optuna",
+                               "hydra.sweeper.n_trials=7"])
+    assert select(cfg, "hydra.sweeper._target_") == "optuna"
+    assert select(cfg, "hydra.sweeper.n_trials") == 7
+    # reference root declares `override hydra/launcher: joblib`
+    assert select(cfg, "hydra.launcher._target_") == "joblib"
+
+
+def test_reference_tree_composes_with_plugin_groups():
+    ref = Path("/root/reference/configs")
+    if not ref.is_dir():
+        pytest.skip("reference tree unavailable")
+    cfg = compose(ref, ["experiment=vae/mnist_mlp"])
+    assert select(cfg, "hydra.launcher._target_") == "joblib"
+
+
+# ------------------------------------------------------------------- CLI
+@pytest.mark.slow
+def test_cli_optuna_sweep(tmp_path):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "run.py"), "-m",
+         "hydra/sweeper=optuna", "hydra.sweeper.n_trials=2",
+         "hydra.sweeper.seed=0", "hydra.sweeper.direction=maximize",
+         "+optimized_metric=val_log/log_p_x_of_z",
+         "experiment=vae/mnist_mlp",
+         "model.lr=tag(log, interval(1e-4,1e-2))", *FAST,
+         f"hydra.sweep.dir={tmp_path}/sweep"],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Best value:" in out.stdout, out.stdout[-2000:]
+    assert (tmp_path / "sweep" / "optimization_results.yaml").exists()
+    assert (tmp_path / "sweep" / "0").exists()
+    assert (tmp_path / "sweep" / "1").exists()
+
+
+@pytest.mark.slow
+def test_cli_joblib_launcher(tmp_path):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "run.py"), "-m",
+         "hydra/launcher=joblib", "hydra.launcher.n_jobs=2",
+         "experiment=vae/mnist_mlp", "model.lr=1e-3,5e-4", *FAST,
+         f"hydra.sweep.dir={tmp_path}/sweep"],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (tmp_path / "sweep" / "0").exists()
+    assert (tmp_path / "sweep" / "1").exists()
