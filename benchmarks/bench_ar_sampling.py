@@ -78,7 +78,14 @@ def main() -> None:
     ap.add_argument("--families", default="made,pixelcnn,tar")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--overrides", default="",
+                    help="extra config overrides, comma-separated "
+                         "(CPU smoke: model.hidden_dim=32)")
     args = ap.parse_args()
+    extra = [o for o in args.overrides.split(",") if o]
+
+    from igm_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # honor IGM_PLATFORM=cpu (axon re-registers over env)
 
     import jax
     try:
@@ -88,7 +95,7 @@ def main() -> None:
 
     for name in args.families.split(","):
         overrides, steps = FAMILIES[name]
-        row = bench(name, overrides, steps, args.batch, args.iters)
+        row = bench(name, overrides + extra, steps, args.batch, args.iters)
         print(json.dumps(row), flush=True)
 
 

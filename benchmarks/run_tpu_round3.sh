@@ -34,7 +34,11 @@ echo "[$(stamp)] 5/6 sampling bench (ancestral + DDIM-50)"
 python benchmarks/bench_sampling.py > "$OUT/sampling_round3.json" 2>/dev/null
 echo "rc=$?"
 
-echo "[$(stamp)] 6/6 MADE batch-scaling lever"
+echo "[$(stamp)] 6/7 MADE batch-scaling lever"
 python benchmarks/made_batch_scaling.py > "$OUT/made_batch_scaling.jsonl" 2>/dev/null
+echo "rc=$?"
+
+echo "[$(stamp)] 7/7 AR sampling throughput (made/pixelcnn/tar)"
+python benchmarks/bench_ar_sampling.py > "$OUT/ar_sampling_round3.jsonl" 2>/dev/null
 echo "rc=$?"
 echo "[$(stamp)] done — artifacts in $OUT"
