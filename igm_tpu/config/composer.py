@@ -74,7 +74,10 @@ _INTERP_RE = re.compile(r"\$\{([^${}]+)\}")
 _PLUGIN_GROUPS = ("hydra/launcher", "hydra/sweeper")
 _PLUGIN_BUILTINS: Dict[Tuple[str, str], Dict[str, Any]] = {
     ("launcher", "basic"): {"_target_": "basic"},
-    ("launcher", "joblib"): {"_target_": "joblib", "n_jobs": -1,
+    # n_jobs: null == 1 worker (joblib.Parallel's own default) - safe on
+    # the single TPU chip, where concurrent jobs cannot share the device;
+    # opt into parallelism with hydra.launcher.n_jobs=N (CPU runs only).
+    ("launcher", "joblib"): {"_target_": "joblib", "n_jobs": None,
                              "backend": "processes", "verbose": 0},
     ("sweeper", "basic"): {"_target_": "basic"},
     ("sweeper", "optuna"): {"_target_": "optuna", "direction": "minimize",

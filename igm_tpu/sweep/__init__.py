@@ -5,6 +5,7 @@ Implements the two Hydra plugins the reference declares
 scratch: see `space` (override grammar), `tpe` (TPE study), `launcher`
 (parallel job execution).  Wired into `run.py -m`.
 """
-from .launcher import Job, launch, read_result, write_result  # noqa: F401
+from .launcher import (Job, JobResult, launch, read_result,  # noqa: F401
+                       write_result)
 from .space import Dist, dist_from_config, format_value, parse_override  # noqa: F401
 from .tpe import Study, Trial  # noqa: F401

@@ -50,7 +50,13 @@ def write_result(run_dir: Path, value) -> None:
         json.dumps({"optimized_metric": value}))
 
 
-def _run_subprocess(run_py: Path, job: Job, sweep_dir: Path) -> Optional[float]:
+@dataclass
+class JobResult:
+    ok: bool                       # job process / call succeeded
+    value: Optional[float] = None  # optimized_metric, if the run produced one
+
+
+def _run_subprocess(run_py: Path, job: Job, sweep_dir: Path) -> JobResult:
     run_dir = Path(sweep_dir) / job.subdir
     cmd = [sys.executable, str(run_py), *job.overrides,
            f"hydra.run.dir={run_dir}"]
@@ -58,19 +64,23 @@ def _run_subprocess(run_py: Path, job: Job, sweep_dir: Path) -> Optional[float]:
     if proc.returncode != 0:
         sys.stderr.write(f"[launcher] job {job.subdir} failed "
                          f"(rc={proc.returncode}):\n{proc.stderr[-4000:]}\n")
-        return None
-    return read_result(run_dir)
+        return JobResult(ok=False)
+    return JobResult(ok=True, value=read_result(run_dir))
 
 
 def launch(jobs: List[Job], launcher_cfg, sweep_dir: Path, run_py: Path,
            run_inline: Optional[Callable[[Job], Optional[float]]] = None,
-           ) -> List[Optional[float]]:
-    """Run `jobs`, returning each job's optimized_metric (None on failure)."""
+           ) -> List[JobResult]:
+    """Run `jobs`; each JobResult carries success + optimized_metric."""
     kind = str(launcher_cfg.get("_target_", "basic")) if launcher_cfg else "basic"
     if kind == "joblib":
-        n_jobs = int(launcher_cfg.get("n_jobs", -1) or -1)
-        if n_jobs <= 0:
-            n_jobs = os.cpu_count() or 1
+        n_jobs_cfg = launcher_cfg.get("n_jobs")
+        if n_jobs_cfg in (None, "null"):
+            n_jobs = 1  # joblib.Parallel default; single-TPU-safe
+        else:
+            n_jobs = int(n_jobs_cfg)
+            if n_jobs <= 0:
+                n_jobs = os.cpu_count() or 1
         n_jobs = max(1, min(n_jobs, len(jobs)))
         with ThreadPoolExecutor(max_workers=n_jobs) as pool:
             futures = [pool.submit(_run_subprocess, run_py, j, sweep_dir)
@@ -78,10 +88,10 @@ def launch(jobs: List[Job], launcher_cfg, sweep_dir: Path, run_py: Path,
             return [f.result() for f in futures]
     # basic: sequential, in-process when the caller provides a runner
     # (preserves the pre-round-3 multirun behaviour and its shared caches)
-    results: List[Optional[float]] = []
+    results: List[JobResult] = []
     for job in jobs:
         if run_inline is not None:
-            results.append(run_inline(job))
+            results.append(JobResult(ok=True, value=run_inline(job)))
         else:
             results.append(_run_subprocess(run_py, job, sweep_dir))
     return results

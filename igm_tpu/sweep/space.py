@@ -77,8 +77,13 @@ class Dist:
         if self.kind == "int":
             step = int(self.step or 1)
             return list(range(int(self.low), int(self.high) + 1, step))
+        if self.step:  # stepped float range(): enumerable like Hydra's
+            n = int(round((self.high - self.low) / self.step))
+            vals = [round(self.low + i * self.step, 12) for i in range(n + 1)]
+            return [v for v in vals if v <= self.high + 1e-12]
         raise ValueError(
-            "interval() has no finite grid - use hydra/sweeper=optuna")
+            "a continuous interval() has no finite grid - use "
+            "hydra/sweeper=optuna to search it")
 
 
 def _parse_value(value: str, log: bool = False) -> Optional[Dist]:
@@ -120,15 +125,15 @@ def _parse_value(value: str, log: bool = False) -> Optional[Dist]:
 
 
 def parse_override(token: str) -> Tuple[str, Optional[Dist]]:
-    """`key=value` -> (key, Dist) if value is a sweep form, else (key, None)."""
-    if "=" not in token or token.startswith(("+", "~")):
+    """`key=value` -> (key, Dist) if value is a sweep form, else (key, None).
+
+    `+key=a,b` sweeps too (Hydra does); the returned key keeps its `+` so
+    formatted job overrides stay append-mode.  `~key` is never a sweep.
+    """
+    if "=" not in token or token.startswith("~"):
         return token, None
     key, value = token.split("=", 1)
-    try:
-        dist = _parse_value(value)
-    except ValueError:
-        raise
-    return key, dist
+    return key, _parse_value(value)
 
 
 def dist_from_config(node: Any) -> Dist:

@@ -60,11 +60,16 @@ class Study:
         self.trials.append(trial)
         return trial
 
-    def tell(self, trial: Trial, value: Optional[float]) -> None:
-        if value is None or (isinstance(value, float) and math.isnan(value)):
+    def tell(self, trial: Trial, value) -> None:
+        if value is not None:
+            try:  # coerce 0-d jax/numpy arrays BEFORE the NaN check
+                value = float(value)
+            except (TypeError, ValueError):
+                value = None
+        if value is None or math.isnan(value):
             trial.state = "failed"
             return
-        trial.value = float(value)
+        trial.value = value
         trial.state = "complete"
 
     @property
@@ -178,6 +183,9 @@ class Study:
         value = self._from_unit(d, best)
         if d.kind == "int":
             step = int(d.step or 1)
+            # clamp to the LAST ON-GRID value, not d.high (range(32,256,32)
+            # has high=255 but its grid tops out at 224)
+            hi_grid = int(d.low) + step * ((int(d.high) - int(d.low)) // step)
             value = int(d.low) + step * round((value - d.low) / step)
-            value = int(min(max(value, d.low), d.high))
+            value = int(min(max(value, d.low), hi_grid))
         return value

@@ -51,7 +51,13 @@ def _single_run(overrides, multirun_subdir=None):
         result = train(cfg)
         if result is not None:
             print(f"optimized_metric: {result}")
-            write_result(Path(os.getcwd()), result)
+            # write to the resolved run dir even when hydra.job.chdir=False
+            # (if chdir'd, cwd IS the run dir; else run_dir is relative to
+            # the unchanged launch cwd)
+            out_dir = (Path(os.getcwd()) if chdir or not run_dir
+                       else Path(run_dir))
+            out_dir.mkdir(parents=True, exist_ok=True)
+            write_result(out_dir, result)
         return result
     finally:
         os.chdir(cwd)
@@ -94,7 +100,11 @@ def _grid_sweep(fixed, swept, launcher, sweep_dir) -> None:
         jobs.append(Job(overrides=fixed + list(combo), subdir=str(i)))
     for i, job in enumerate(jobs):
         print(f"--- multirun job {i}: {job.overrides}")
-    _launch(jobs, launcher, sweep_dir)
+    results = _launch(jobs, launcher, sweep_dir)
+    failed = [j.subdir for j, r in zip(jobs, results) if not r.ok]
+    if failed:
+        raise SystemExit(f"multirun: {len(failed)}/{len(jobs)} jobs failed "
+                         f"(subdirs {', '.join(failed)})")
 
 
 def _optuna_sweep(fixed, swept, sweeper, launcher, sweep_dir) -> None:
@@ -120,10 +130,11 @@ def _optuna_sweep(fixed, swept, sweeper, launcher, sweep_dir) -> None:
                 for t in batch]
         for t, job in zip(batch, jobs):
             print(f"--- optuna trial {t.number}: {job.overrides}")
-        values = _launch(jobs, launcher, sweep_dir)
-        for t, v in zip(batch, values):
-            study.tell(t, v)
-            print(f"--- optuna trial {t.number} value: {v}")
+        results = _launch(jobs, launcher, sweep_dir)
+        for t, r in zip(batch, results):
+            study.tell(t, r.value if r.ok else None)
+            print(f"--- optuna trial {t.number} value: "
+                  f"{r.value if r.ok else 'FAILED'}")
         done += len(batch)
     try:
         best = study.best_trial

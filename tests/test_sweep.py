@@ -123,6 +123,39 @@ def test_failed_trials_are_skipped():
     assert study.best_trial.number == t2.number
 
 
+def test_plus_override_sweeps():
+    key, d = parse_override("+model.extra=1,2")
+    assert key == "+model.extra" and d.choices == [1, 2]
+
+
+def test_float_range_grid():
+    _, d = parse_override("model.ema=range(0.9,0.95,0.01)")
+    assert d.kind == "float"
+    assert d.grid() == [0.9, 0.91, 0.92, 0.93, 0.94, 0.95]
+
+
+def test_tpe_int_stays_on_grid():
+    space = {"hidden": Dist(kind="int", low=32, high=255, step=32)}
+    study = Study(space, seed=0, n_startup_trials=5)
+    allowed = set(range(32, 256, 32))
+    for i in range(200):
+        t = study.ask()
+        assert t.params["hidden"] in allowed, t.params
+        # steer toward the top of the range to stress the clamp
+        study.tell(t, -float(t.params["hidden"]))
+
+
+def test_tell_nan_array_is_failed():
+    import jax.numpy as jnp
+    study = Study(SPACE, seed=0)
+    t = study.ask()
+    study.tell(t, jnp.array(float("nan")))  # 0-d array, not a python float
+    assert t.state == "failed"
+    t2 = study.ask()
+    study.tell(t2, jnp.array(1.5))  # arrays coerce fine
+    assert t2.state == "complete" and t2.value == 1.5
+
+
 def test_maximize_direction():
     study = Study({"x": Dist(kind="float", low=0, high=1)},
                   direction="maximize", seed=0, n_startup_trials=5)
@@ -167,6 +200,19 @@ def test_cli_optuna_sweep(tmp_path):
     assert (tmp_path / "sweep" / "optimization_results.yaml").exists()
     assert (tmp_path / "sweep" / "0").exists()
     assert (tmp_path / "sweep" / "1").exists()
+
+
+@pytest.mark.slow
+def test_cli_multirun_failed_job_exits_nonzero(tmp_path):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "run.py"), "-m",
+         "hydra/launcher=joblib",
+         "experiment=vae/mnist_mlp", "model.lr=1e-3,5e-4",
+         "model.nonexistent_knob=boom",  # every job crashes in instantiate
+         *FAST, f"hydra.sweep.dir={tmp_path}/sweep"],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode != 0
+    assert "jobs failed" in (out.stdout + out.stderr)
 
 
 @pytest.mark.slow

@@ -84,19 +84,8 @@ def do_run(args) -> None:
           f"range [{imgs.min():.3f}, {imgs.max():.3f}]")
     if args.out:
         # grid rendering needs the repo only for layout, not the model
-        from igm_tpu.callbacks.visualization import save_image_grid
-        import math
-        n, h, w, c = imgs.shape
-        cols = int(math.ceil(math.sqrt(n)))
-        rows = int(math.ceil(n / cols))
-        lo, hi = float(imgs.min()), float(imgs.max())
-        norm = (imgs - lo) / max(hi - lo, 1e-9)
-        grid = np.ones((rows * (h + 2) + 2, cols * (w + 2) + 2, c),
-                       dtype=np.float32)
-        for i in range(n):
-            r, col = divmod(i, cols)
-            grid[2 + r * (h + 2):2 + r * (h + 2) + h,
-                 2 + col * (w + 2):2 + col * (w + 2) + w] = norm[i]
+        from igm_tpu.callbacks.visualization import make_grid, save_image_grid
+        grid = make_grid(imgs, normalize=True)
         if grid.shape[-1] == 1:
             grid = grid[..., 0]
         save_image_grid(grid, args.out)
