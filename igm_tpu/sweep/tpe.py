@@ -52,10 +52,11 @@ class Study:
     # ------------------------------------------------------------------ public
     def ask(self) -> Trial:
         done = [t for t in self.trials if t.state == "complete"]
+        failed = [t for t in self.trials if t.state == "failed"]
         if self.sampler != "tpe" or len(done) < self.n_startup:
             params = {k: self._sample_prior(d) for k, d in self.space.items()}
         else:
-            params = self._sample_tpe(done)
+            params = self._sample_tpe(done, failed)
         trial = Trial(number=len(self.trials), params=params)
         self.trials.append(trial)
         return trial
@@ -118,8 +119,15 @@ class Study:
         n_good = max(1, min(25, math.ceil(0.10 * len(ranked))))
         return ranked[:n_good], ranked[n_good:] or ranked[-1:]
 
-    def _sample_tpe(self, done: List[Trial]) -> Dict[str, Any]:
+    def _sample_tpe(self, done: List[Trial],
+                    failed: Optional[List[Trial]] = None) -> Dict[str, Any]:
         good, bad = self._split(done)
+        # failed (diverged/crashed) trials are evidence too: count them in
+        # the bad mixture so TPE stops re-proposing a crashing region (a
+        # clipped-boundary proposal otherwise repeats forever - observed
+        # with lr=interval(3e-5,3e-2) where the top of the range diverges)
+        if failed:
+            bad = bad + list(failed)
         params: Dict[str, Any] = {}
         for key, d in self.space.items():
             if d.kind == "categorical":

@@ -156,6 +156,23 @@ def test_tell_nan_array_is_failed():
     assert t2.state == "complete" and t2.value == 1.5
 
 
+def test_failed_region_is_avoided():
+    """Trials that fail (diverge) steer TPE away from their region."""
+    space = {"lr": Dist(kind="float", low=1e-5, high=1e-1, log=True)}
+    study = Study(space, seed=0, n_startup_trials=5)
+    for _ in range(30):
+        t = study.ask()
+        lr = t.params["lr"]
+        if lr > 1e-2:          # "diverges"
+            study.tell(t, None)
+        else:                  # optimum at 1e-3
+            study.tell(t, (np.log10(lr) + 3.0) ** 2)
+    last10 = [t.params["lr"] for t in study.trials[-10:]]
+    # the crashing region must not dominate late proposals
+    assert sum(lr > 1e-2 for lr in last10) <= 2, last10
+    assert study.best_trial.value < 0.5
+
+
 def test_maximize_direction():
     study = Study({"x": Dist(kind="float", low=0, high=1)},
                   direction="maximize", seed=0, n_startup_trials=5)
