@@ -73,6 +73,14 @@ class Study:
         trial.value = value
         trial.state = "complete"
 
+    def add_observation(self, params: Dict[str, Any],
+                        value: Optional[float]) -> Trial:
+        """Record an already-evaluated trial (sweep resume from a journal)."""
+        trial = Trial(number=len(self.trials), params=dict(params))
+        self.trials.append(trial)
+        self.tell(trial, value)
+        return trial
+
     @property
     def best_trial(self) -> Trial:
         done = [t for t in self.trials if t.state == "complete"]

