@@ -44,6 +44,7 @@ class Study:
         self.space = dict(space)
         self.direction = direction
         self.sampler = sampler
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.n_startup = int(n_startup_trials)
         self.n_candidates = int(n_candidates)
@@ -51,6 +52,14 @@ class Study:
 
     # ------------------------------------------------------------------ public
     def ask(self) -> Trial:
+        if self.seed is not None:
+            # Proposals are a pure function of (seed, trial number, history):
+            # a journal-resumed study (run.py replays finished trials via
+            # add_observation, which draws no randomness) proposes exactly
+            # what the uninterrupted study would have - in particular the
+            # random startup trials don't restart their stream and duplicate
+            # already-evaluated points.
+            self.rng = np.random.default_rng((self.seed, len(self.trials)))
         done = [t for t in self.trials if t.state == "complete"]
         failed = [t for t in self.trials if t.state == "failed"]
         if self.sampler != "tpe" or len(done) < self.n_startup:

@@ -123,6 +123,27 @@ def test_failed_trials_are_skipped():
     assert study.best_trial.number == t2.number
 
 
+def test_resume_reproduces_uninterrupted_trajectory():
+    """add_observation replay + per-trial-number seeding: a resumed study
+    proposes exactly what the uninterrupted one would (no duplicated
+    startup draws after a journal replay)."""
+    full = Study(SPACE, seed=7, n_startup_trials=4)
+    history = []
+    for _ in range(12):
+        t = full.ask()
+        full.tell(t, _objective(t.params))
+        history.append((t.params, t.value))
+
+    resumed = Study(SPACE, seed=7, n_startup_trials=4)
+    for params, value in history[:5]:   # replay a partial journal
+        resumed.add_observation(params, value)
+    for i in range(5, 12):
+        t = resumed.ask()
+        assert t.number == i
+        assert t.params == history[i][0], (i, t.params, history[i][0])
+        resumed.tell(t, _objective(t.params))
+
+
 def test_plus_override_sweeps():
     key, d = parse_override("+model.extra=1,2")
     assert key == "+model.extra" and d.choices == [1, 2]
