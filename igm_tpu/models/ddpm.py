@@ -30,8 +30,13 @@ class DDPM(BaseModel):
                  compute_dtype: str = "auto", remat: bool = False,
                  ema_decay: float = 0.0, val_sampler: str = "ancestral",
                  ddim_steps: int = 50, pallas_gn: str | bool = "auto",
-                 **kwargs):
+                 num_classes: int | None = 0, cond_drop_prob: float = 0.1,
+                 guidance_scale: float = 2.0, **kwargs):
         super().__init__(datamodule)
+        # class-conditional DDPM + classifier-free guidance (beyond parity;
+        # the reference DDPM is unconditional).  num_classes=0 keeps the
+        # exact unconditional param tree / behavior.
+        self.num_classes = int(num_classes or 0)
         self.save_hyperparameters(hidden_dim=hidden_dim, timesteps=timesteps,
                                   loss_type=loss_type,
                                   dim_mults=list(dim_mults), lr=lr, b1=b1,
@@ -39,7 +44,10 @@ class DDPM(BaseModel):
                                   sample_batch=sample_batch,
                                   ema_decay=ema_decay,
                                   val_sampler=val_sampler,
-                                  ddim_steps=ddim_steps)
+                                  ddim_steps=ddim_steps,
+                                  num_classes=self.num_classes,
+                                  cond_drop_prob=cond_drop_prob,
+                                  guidance_scale=guidance_scale)
         self.timesteps = int(timesteps)
         self.tables = gd.make_tables(self.timesteps, beta_schedule)
         # bfloat16 convs on TPU (MXU fast path; params + loss stay f32);
@@ -57,14 +65,17 @@ class DDPM(BaseModel):
         self.modules = ModuleDict(
             denoise=Unet(dim=hidden_dim, channels=self.channels,
                          dim_mults=tuple(dim_mults), dtype=dtype,
+                         num_classes=self.num_classes,
                          remat=bool(remat), pallas_gn=bool(pallas_gn)))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams
         self.optimizers = OptimizerSet().add(
             "opt", adam(hp.lr, hp.b1, hp.b2), ["denoise"])
-        state = self.make_state(rng, {
-            "denoise": (self.dummy_image_batch(1), jnp.zeros((1,)))})
+        dummy = (self.dummy_image_batch(1), jnp.zeros((1,)))
+        if self.num_classes:
+            dummy = dummy + (jnp.zeros((1,), jnp.int32),)
+        state = self.make_state(rng, {"denoise": dummy})
         if hp.ema_decay > 0:
             # EMA shadow of the denoiser (beyond-parity quality lever;
             # standard DDPM practice, absent in the reference) — carried in
@@ -75,18 +86,31 @@ class DDPM(BaseModel):
 
     # ------------------------------------------------------------------ train
     def train_step(self, state: TrainState, batch):
-        imgs_raw, _ = batch
-        state, rngs = state.next_rng(2)
-        t_rng, noise_rng = rngs
+        imgs_raw, labels = batch
+        # unconditional keeps the exact 2-key split (pre-round-3 RNG-stream
+        # compatibility); conditional draws a third key for label dropout
+        n_keys = 3 if self.num_classes else 2
+        state, rngs = state.next_rng(n_keys)
+        t_rng, noise_rng = rngs[0], rngs[1]
         imgs = self.preprocess(imgs_raw)
         n = imgs.shape[0]
         t = jax.random.randint(t_rng, (n,), 0, self.timesteps)
         noise = jax.random.normal(noise_rng, imgs.shape)
         x_noisy = gd.q_sample(self.tables, imgs, t, noise)
+        if self.num_classes:
+            # classifier-free guidance training: drop the label to the null
+            # token with prob cond_drop_prob so one network learns both the
+            # conditional and unconditional score (Ho & Salimans 2022)
+            drop = jax.random.bernoulli(
+                rngs[2], float(self.hparams.cond_drop_prob), (n,))
+            y = (jnp.where(drop, self.num_classes,
+                           labels.astype(jnp.int32)),)
+        else:
+            y = ()
 
         def loss_fn(params):
             pred, mut = self.modules.apply("denoise", params, state.mutables,
-                                           x_noisy, t)
+                                           x_noisy, t, *y)
             if self.hparams.loss_type == "l1":
                 loss = jnp.abs(noise - pred).mean()
             elif self.hparams.loss_type == "l2":
@@ -106,18 +130,39 @@ class DDPM(BaseModel):
         return bump(state), aux["metrics"]
 
     # --------------------------------------------------------------- sampling
-    def _denoise(self, state, x, t):
+    def _denoise(self, state, x, t, y=None):
         params = state.params
         if self.hparams.ema_decay > 0 and "ema" in state.opt_states:
             params = {**params, "denoise": state.opt_states["ema"]}
+        if self.num_classes and y is None:
+            # unconditional generation from a conditional model = the
+            # trained null token
+            y = jnp.full((x.shape[0],), self.num_classes, jnp.int32)
+        args = (x, t) if y is None else (x, t, y)
         out, _ = self.modules.apply("denoise", params, state.mutables,
-                                    x, t, train=False)
+                                    *args, train=False)
         return out
 
-    def p_sample(self, state, x, t, rng, clip_denoised: bool = True):
+    def _eps(self, state, x, t, y=None, guidance: float = 1.0):
+        """Noise prediction with optional classifier-free guidance:
+        ``eps = eps_null + s * (eps_y - eps_null)`` — s=1 is the plain
+        conditional prediction (one forward), s=0 unconditional.  The two
+        CFG branches run as ONE doubled batch (a single MXU-friendly
+        dispatch inside the sampling scan, not two half-size ones)."""
+        if self.num_classes == 0 or y is None or guidance == 1.0:
+            return self._denoise(state, x, t, y)
+        null = jnp.full_like(y, self.num_classes)
+        eps2 = self._denoise(state, jnp.concatenate([x, x]),
+                             jnp.concatenate([t, t]),
+                             jnp.concatenate([y, null]))
+        eps_y, eps_null = jnp.split(eps2, 2)
+        return eps_null + guidance * (eps_y - eps_null)
+
+    def p_sample(self, state, x, t, rng, clip_denoised: bool = True,
+                 y=None, guidance: float = 1.0):
         """One reverse step p(x_{t-1} | x_t); t is a (N,) int32 batch
         (ddpm.py:378-397)."""
-        eps = self._denoise(state, x, t.astype(jnp.float32))
+        eps = self._eps(state, x, t.astype(jnp.float32), y, guidance)
         x_recon = gd.predict_start_from_noise(self.tables, x, t, eps)
         if clip_denoised:
             x_recon = jnp.clip(x_recon, -1.0, 1.0)
@@ -127,7 +172,8 @@ class DDPM(BaseModel):
         return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
     def p_sample_loop(self, state, rng, shape, t_start: int | None = None,
-                      init_x: jnp.ndarray | None = None) -> jnp.ndarray:
+                      init_x: jnp.ndarray | None = None,
+                      y=None, guidance: float = 1.0) -> jnp.ndarray:
         """Full ancestral chain as one lax.scan (ddpm.py:399-409)."""
         t_start = self.timesteps if t_start is None else t_start
         init_rng, chain_rng = jax.random.split(rng)
@@ -137,19 +183,32 @@ class DDPM(BaseModel):
             x, key = carry
             key, sub = jax.random.split(key)
             tb = jnp.full((shape[0],), t, jnp.int32)
-            x = self.p_sample(state, x, tb, sub)
+            x = self.p_sample(state, x, tb, sub, y=y, guidance=guidance)
             return (x, key), None
 
         (x, _), _ = jax.lax.scan(step, (x, chain_rng),
                                  jnp.arange(t_start - 1, -1, -1))
         return x
 
-    def sample(self, state: TrainState, rng: jax.Array, n: int) -> jnp.ndarray:
+    def _default_labels(self, n: int) -> jnp.ndarray:
+        """Contiguous class blocks — with n a multiple of the grid row the
+        sample grid shows one class per row (cvae.py sample convention)."""
+        return (jnp.arange(n) * self.num_classes // n).astype(jnp.int32)
+
+    def sample(self, state: TrainState, rng: jax.Array, n: int,
+               y=None) -> jnp.ndarray:
+        guidance = 1.0
+        if self.num_classes:
+            if y is None:
+                y = self._default_labels(n)
+            guidance = float(self.hparams.guidance_scale)
         return self.p_sample_loop(
-            state, rng, (n, self.height, self.width, self.channels))
+            state, rng, (n, self.height, self.width, self.channels),
+            y=y, guidance=guidance)
 
     def ddim_sample(self, state: TrainState, rng: jax.Array, n: int,
-                    steps: int = 50, eta: float = 0.0) -> jnp.ndarray:
+                    steps: int = 50, eta: float = 0.0,
+                    y=None, guidance: float = 1.0) -> jnp.ndarray:
         """DDIM sampler (Song et al. 2021) over an evenly-spaced timestep
         subsequence — beyond-parity fast inference (steps ~50 vs the
         ancestral chain's 1000).  eta=0 gives the deterministic ODE sampler.
@@ -166,7 +225,7 @@ class DDPM(BaseModel):
             t, t_prev = ts
             key, sub = jax.random.split(key)
             tb = jnp.full((n,), t, jnp.int32)
-            eps = self._denoise(state, x, tb.astype(jnp.float32))
+            eps = self._eps(state, x, tb.astype(jnp.float32), y, guidance)
             a_t = tbl.alphas_cumprod[t]
             a_prev = jnp.where(t_prev >= 0, tbl.alphas_cumprod[t_prev], 1.0)
             x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
@@ -209,8 +268,13 @@ class DDPM(BaseModel):
             n_s = int(self.hparams.sample_batch)
             if self.hparams.val_sampler == "ddim":
                 # beyond-parity: 20x cheaper validation sampling
+                cond = {}
+                if self.num_classes:
+                    cond = dict(y=self._default_labels(n_s),
+                                guidance=float(self.hparams.guidance_scale))
                 result["fake_image"] = self.ddim_sample(
-                    state, sample_rng, n_s, steps=int(self.hparams.ddim_steps))
+                    state, sample_rng, n_s,
+                    steps=int(self.hparams.ddim_steps), **cond)
             else:
                 result["fake_image"] = self.sample(state, sample_rng, n_s)
         return result, {}

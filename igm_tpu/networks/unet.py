@@ -171,19 +171,29 @@ class ResnetBlock(nn.Module):
 
 
 class Unet(nn.Module):
-    """(ddpm.py:170-261).  Input/output NHWC; ``time`` is (B,) int/float."""
+    """(ddpm.py:170-261).  Input/output NHWC; ``time`` is (B,) int/float.
+
+    ``num_classes > 0`` adds class-conditioning (beyond parity — the
+    reference UNet is unconditional): a learned embedding table of
+    ``num_classes + 1`` rows is added to the time embedding, where row
+    ``num_classes`` is the *null token* trained for classifier-free
+    guidance (Ho & Salimans 2022).  ``y`` is a (B,) int32 label batch and
+    is required iff ``num_classes > 0``.
+    """
     dim: int
     out_dim: Optional[int] = None
     dim_mults: Sequence[int] = (1, 2, 4, 8)
     groups: int = 8
     channels: int = 3
     with_time_emb: bool = True
+    num_classes: int = 0  # 0 = unconditional (reference parity)
     dtype: Any = None  # compute dtype for convs (bfloat16 on TPU)
     remat: bool = False  # jax.checkpoint each resnet block (memory <-> FLOPs)
     pallas_gn: bool = False  # fused GroupNorm+Mish Pallas kernel (TPU only)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, time: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, time: jnp.ndarray,
+                 y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         dims = [self.channels] + [self.dim * m for m in self.dim_mults]
         in_out = list(zip(dims[:-1], dims[1:]))
         num_res = len(in_out)
@@ -196,6 +206,12 @@ class Unet(nn.Module):
             t = Dense(self.dim)(t)
         else:
             t = None
+        if self.num_classes:
+            if y is None:
+                raise ValueError("conditional Unet (num_classes>0) needs y")
+            emb = nn.Embed(self.num_classes + 1, self.dim, name="class_emb")
+            cls = emb(y.astype(jnp.int32))
+            t = cls if t is None else t + cls
 
         skips = []
         for ind, (_, dim_out) in enumerate(in_out):

@@ -52,6 +52,7 @@ SMOKE_EXPERIMENTS = [
     "tar/mnist",
     "ddpm/mnist",
     "ddpm/cifar10",
+    "ddpm/cond_mnist",   # class-conditional + CFG (beyond parity)
 ]
 
 
