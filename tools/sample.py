@@ -26,6 +26,10 @@ def main() -> None:
     parser.add_argument("--n", type=int, default=64)
     parser.add_argument("--out", default="samples.png")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--label", type=int, default=None,
+                        help="class label (conditional models, e.g. "
+                             "ddpm/cond_mnist): draw all n samples from "
+                             "this class")
     args = parser.parse_args()
 
     from igm_tpu.utils.platform import apply_platform_env
@@ -42,7 +46,15 @@ def main() -> None:
     template = jax.jit(model.init_state)(jax.random.PRNGKey(0))
     state = CheckpointManager(args.ckpt).restore(template)
 
-    imgs = model.sample(state, jax.random.PRNGKey(args.seed), args.n)
+    kwargs = {}
+    if args.label is not None:
+        import inspect
+        import jax.numpy as jnp
+        if "y" not in inspect.signature(model.sample).parameters:
+            raise SystemExit(f"--label: {type(model).__name__}.sample is "
+                             "not class-conditional")
+        kwargs["y"] = jnp.full((args.n,), args.label, jnp.int32)
+    imgs = model.sample(state, jax.random.PRNGKey(args.seed), args.n, **kwargs)
     grid = get_grid_images(np.asarray(imgs), model, nimgs=args.n)
     save_image_grid(grid, args.out)
     print(f"wrote {args.out} ({args.n} samples, step {int(state.step)})")
