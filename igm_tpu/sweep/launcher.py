@@ -56,10 +56,13 @@ class JobResult:
     value: Optional[float] = None  # optimized_metric, if the run produced one
 
 
-def _run_subprocess(run_py: Path, job: Job, sweep_dir: Path) -> JobResult:
+def _run_subprocess(run_py, job: Job, sweep_dir: Path) -> JobResult:
     run_dir = Path(sweep_dir) / job.subdir
-    cmd = [sys.executable, str(run_py), *job.overrides,
-           f"hydra.run.dir={run_dir}"]
+    # run_py: a run.py path, or a full argv prefix (installed package
+    # re-enters via `python -m igm_tpu.cli`)
+    prefix = ([sys.executable, str(run_py)]
+              if isinstance(run_py, (str, Path)) else [str(a) for a in run_py])
+    cmd = [*prefix, *job.overrides, f"hydra.run.dir={run_dir}"]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         sys.stderr.write(f"[launcher] job {job.subdir} failed "
@@ -68,7 +71,7 @@ def _run_subprocess(run_py: Path, job: Job, sweep_dir: Path) -> JobResult:
     return JobResult(ok=True, value=read_result(run_dir))
 
 
-def launch(jobs: List[Job], launcher_cfg, sweep_dir: Path, run_py: Path,
+def launch(jobs: List[Job], launcher_cfg, sweep_dir: Path, run_py,
            run_inline: Optional[Callable[[Job], Optional[float]]] = None,
            ) -> List[JobResult]:
     """Run `jobs`; each JobResult carries success + optimized_metric."""

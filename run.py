@@ -1,188 +1,22 @@
 #!/usr/bin/env python
-"""CLI entrypoint (parity: /root/reference/run.py).
+"""CLI entrypoint (parity: /root/reference/run.py) — thin shim over
+igm_tpu.cli.train_main, which also backs the installed ``igm-train``
+console script (pyproject.toml).
 
     python run.py experiment=ddpm/cifar10 [model.lr=1e-3] [trainer.max_epochs=5]
     python run.py -m experiment=vae/mnist_mlp model.lr=1e-3,5e-4       # grid sweep
     python run.py -m hydra/sweeper=optuna hydra.sweeper.n_trials=20 \
         experiment=vae/mnist_mlp 'model.lr=tag(log, interval(1e-4,1e-2))'  # TPE
-
-Composes configs/ (Hydra-compatible), chdirs into the per-run log dir
-(logs/runs/<exp_name>), then calls igm_tpu.train.train.  Multiruns go
-through the sweeper (basic cartesian grid, or the optuna-style TPE study)
-and the launcher (sequential, or joblib-style parallel subprocesses -
-`configs/config.yaml:18` parity).
 """
-from __future__ import annotations
-
-import itertools
 import os
 import sys
 from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
+os.environ.setdefault("IGM_CONFIG_DIR", str(REPO_ROOT / "configs"))
 
-from igm_tpu.config import compose, select  # noqa: E402
-from igm_tpu.sweep import (Job, Study, dist_from_config, format_value,  # noqa: E402
-                           launch, parse_override, write_result)
-from igm_tpu.utils.utils import print_config  # noqa: E402
-
-
-def _single_run(overrides, multirun_subdir=None):
-    cfg = compose(REPO_ROOT / "configs", overrides)
-    if cfg.get("print_config"):
-        print_config(cfg, resolve=True)
-    run_dir = None
-    try:
-        if multirun_subdir is None:
-            run_dir = str(select(cfg, "hydra.run.dir"))
-        else:
-            run_dir = os.path.join(str(select(cfg, "hydra.sweep.dir")),
-                                   multirun_subdir)
-    except KeyError:
-        pass
-    cwd = os.getcwd()
-    chdir = bool(select(cfg, "hydra.job.chdir", True)) and run_dir
-    try:
-        if chdir:
-            os.makedirs(run_dir, exist_ok=True)
-            os.chdir(run_dir)
-        from igm_tpu.train import train
-        result = train(cfg)
-        if result is not None:
-            print(f"optimized_metric: {result}")
-            # write to the resolved run dir even when hydra.job.chdir=False
-            # (if chdir'd, cwd IS the run dir; else run_dir is relative to
-            # the unchanged launch cwd)
-            out_dir = (Path(os.getcwd()) if chdir or not run_dir
-                       else Path(run_dir))
-            out_dir.mkdir(parents=True, exist_ok=True)
-            write_result(out_dir, result)
-        return result
-    finally:
-        os.chdir(cwd)
-
-
-def _partition_sweep(overrides):
-    """Split CLI tokens into fixed overrides and (key, Dist) sweep dims."""
-    fixed, swept = [], []
-    for ov in overrides:
-        key, dist = parse_override(ov)
-        if dist is None:
-            fixed.append(ov)
-        else:
-            swept.append((key, dist))
-    return fixed, swept
-
-
-def _multirun(args) -> None:
-    fixed, swept = _partition_sweep(args)
-    cfg = compose(REPO_ROOT / "configs", fixed)
-    sweeper = select(cfg, "hydra.sweeper", None) or {"_target_": "basic"}
-    launcher = select(cfg, "hydra.launcher", None) or {"_target_": "basic"}
-    sweep_dir = Path(str(select(cfg, "hydra.sweep.dir", "logs/multiruns")))
-    if str(sweeper.get("_target_")) == "optuna":
-        _optuna_sweep(fixed, swept, sweeper, launcher, sweep_dir)
-    else:
-        _grid_sweep(fixed, swept, launcher, sweep_dir)
-
-
-def _launch(jobs, launcher, sweep_dir):
-    return launch(jobs, launcher, sweep_dir, REPO_ROOT / "run.py",
-                  run_inline=lambda job: _single_run(job.overrides,
-                                                     multirun_subdir=job.subdir))
-
-
-def _grid_sweep(fixed, swept, launcher, sweep_dir) -> None:
-    grids = [[f"{k}={format_value(v)}" for v in d.grid()] for k, d in swept]
-    jobs = []
-    for i, combo in enumerate(itertools.product(*grids)):
-        jobs.append(Job(overrides=fixed + list(combo), subdir=str(i)))
-    for i, job in enumerate(jobs):
-        print(f"--- multirun job {i}: {job.overrides}")
-    results = _launch(jobs, launcher, sweep_dir)
-    failed = [j.subdir for j, r in zip(jobs, results) if not r.ok]
-    if failed:
-        raise SystemExit(f"multirun: {len(failed)}/{len(jobs)} jobs failed "
-                         f"(subdirs {', '.join(failed)})")
-
-
-def _optuna_sweep(fixed, swept, sweeper, launcher, sweep_dir) -> None:
-    space = dict(swept)
-    for key, node in dict(sweeper.get("search_space") or {}).items():
-        space.setdefault(key, dist_from_config(node))
-    if not space:
-        raise SystemExit("hydra/sweeper=optuna needs at least one sweep "
-                         "dimension, e.g. 'model.lr=interval(1e-4,1e-2)'")
-    direction = str(sweeper.get("direction", "minimize"))
-    study = Study(space, direction=direction,
-                  sampler=str(sweeper.get("sampler", "tpe")),
-                  seed=sweeper.get("seed"),
-                  n_startup_trials=int(sweeper.get("n_startup_trials", 10)))
-    n_trials = int(sweeper.get("n_trials", 20))
-    n_jobs = max(1, int(sweeper.get("n_jobs", 1)))
-
-    # resume: replay the journal of finished trials (a killed sweep - e.g.
-    # a TPU wedge - restarts with the same command and continues)
-    import json
-    journal = sweep_dir / "trials.jsonl"
-    done = 0
-    if journal.exists():
-        for line in journal.read_text().splitlines():
-            rec = json.loads(line)
-            study.add_observation(rec["params"], rec.get("value"))
-            done += 1
-        if done:
-            print(f"--- optuna resume: replayed {done} finished trials "
-                  f"from {journal}")
-
-    while done < n_trials:
-        batch = [study.ask() for _ in range(min(n_jobs, n_trials - done))]
-        jobs = [Job(overrides=fixed + [f"{k}={format_value(v)}"
-                                       for k, v in t.params.items()],
-                    subdir=str(t.number))
-                for t in batch]
-        for t, job in zip(batch, jobs):
-            print(f"--- optuna trial {t.number}: {job.overrides}")
-        results = _launch(jobs, launcher, sweep_dir)
-        os.makedirs(sweep_dir, exist_ok=True)
-        with open(journal, "a") as fh:
-            for t, r in zip(batch, results):
-                study.tell(t, r.value if r.ok else None)
-                print(f"--- optuna trial {t.number} value: "
-                      f"{r.value if r.ok else 'FAILED'}")
-                fh.write(json.dumps(
-                    {"number": t.number, "params": t.params,
-                     "value": t.value}) + "\n")
-        done += len(batch)
-    try:
-        best = study.best_trial
-    except RuntimeError:
-        raise SystemExit(
-            "optuna sweep: no trial returned an objective - set "
-            "`+optimized_metric=<logged metric>` (e.g. "
-            "val_log/log_p_x_of_z) so train() returns a value to optimize")
-    print(f"Best value: {best.value} (trial {best.number})")
-    print(f"Best params: {best.params}")
-    results = {"name": "optuna", "best_value": best.value,
-               "best_params": {k: v for k, v in best.params.items()}}
-    import yaml
-    os.makedirs(sweep_dir, exist_ok=True)
-    (sweep_dir / "optimization_results.yaml").write_text(
-        yaml.safe_dump(results, sort_keys=False))
-
-
-def main() -> None:
-    args = sys.argv[1:]
-    multirun = False
-    if args and args[0] in ("-m", "--multirun"):
-        multirun = True
-        args = args[1:]
-    if multirun:
-        _multirun(args)
-    else:
-        _single_run(args)
-
+from igm_tpu.cli import train_main  # noqa: E402
 
 if __name__ == "__main__":
-    main()
+    train_main()
