@@ -48,6 +48,17 @@ class CheckpointManager:
         )
         return restored
 
+    def restore_raw(self, step: Optional[int] = None):
+        """Restore the saved tree WITHOUT a template (numpy leaves).
+
+        Used to splice a sub-model's weights into a different state tree
+        (e.g. LatentDDPM loading a frozen first-stage VQ-VAE whose
+        optimizer-state layout we neither know nor need)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self._mgr.restore(step)
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

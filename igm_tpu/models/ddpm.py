@@ -63,10 +63,21 @@ class DDPM(BaseModel):
             import os
             pallas_gn = os.environ.get("IGM_PALLAS_GN", "0") == "1"
         self.modules = ModuleDict(
-            denoise=Unet(dim=hidden_dim, channels=self.channels,
+            denoise=Unet(dim=hidden_dim, channels=self.denoise_channels,
                          dim_mults=tuple(dim_mults), dtype=dtype,
                          num_classes=self.num_classes,
                          remat=bool(remat), pallas_gn=bool(pallas_gn)))
+
+    # hooks overridden by LatentDDPM (diffusion in a learned latent space)
+    @property
+    def denoise_channels(self) -> int:
+        return self.channels
+
+    def _sample_shape(self, n: int) -> tuple:
+        return (n, self.height, self.width, self.channels)
+
+    def _to_diffusion_space(self, state, imgs: jnp.ndarray) -> jnp.ndarray:
+        return imgs
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams
@@ -92,7 +103,7 @@ class DDPM(BaseModel):
         n_keys = 3 if self.num_classes else 2
         state, rngs = state.next_rng(n_keys)
         t_rng, noise_rng = rngs[0], rngs[1]
-        imgs = self.preprocess(imgs_raw)
+        imgs = self._to_diffusion_space(state, self.preprocess(imgs_raw))
         n = imgs.shape[0]
         t = jax.random.randint(t_rng, (n,), 0, self.timesteps)
         noise = jax.random.normal(noise_rng, imgs.shape)
@@ -203,8 +214,7 @@ class DDPM(BaseModel):
                 y = self._default_labels(n)
             guidance = float(self.hparams.guidance_scale)
         return self.p_sample_loop(
-            state, rng, (n, self.height, self.width, self.channels),
-            y=y, guidance=guidance)
+            state, rng, self._sample_shape(n), y=y, guidance=guidance)
 
     def ddim_sample(self, state: TrainState, rng: jax.Array, n: int,
                     steps: int = 50, eta: float = 0.0,
@@ -213,7 +223,7 @@ class DDPM(BaseModel):
         subsequence — beyond-parity fast inference (steps ~50 vs the
         ancestral chain's 1000).  eta=0 gives the deterministic ODE sampler.
         """
-        shape = (n, self.height, self.width, self.channels)
+        shape = self._sample_shape(n)
         init_rng, chain_rng = jax.random.split(rng)
         x = jax.random.normal(init_rng, shape)
         seq = jnp.linspace(0, self.timesteps - 1, steps).round().astype(jnp.int32)

@@ -1,0 +1,179 @@
+"""Latent diffusion: DDPM over a frozen VQ-VAE's continuous latent space.
+
+Beyond-parity family (the reference has VQ-VAE `src/models/vqvae.py` and
+pixel-space DDPM `src/models/ddpm.py:294-521` but never composes them).
+This is the VQ-regularised latent-diffusion recipe (Rombach et al. 2022,
+"High-Resolution Image Synthesis with Latent Diffusion Models"): a
+pretrained VQ-VAE encoder maps images to a 4x-downsampled continuous
+latent grid, the DDPM learns the distribution of those latents
+(epsilon-prediction, same schedules/samplers — everything is inherited
+from DDPM including EMA, DDIM and classifier-free guidance), and decoding
+quantises through the codebook before the convolutional decoder — exactly
+the VQ-VAE's own eval path.
+
+TPU economics: a (H/4, W/4, D) latent UNet step is ~16x fewer conv FLOPs
+per image than pixel space at equal width, and the frozen encoder is one
+extra forward fused into the same jitted train step (no host round-trip,
+no second program).
+
+The first stage arrives via ``first_stage_ckpt`` (an orbax dir written by
+``experiment=vqvae/*``).  Its params/batch-stats are spliced into this
+model's TrainState (frozen: no optimizer owns them), so the latent-DDPM
+checkpoint is fully self-contained afterwards.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import instantiate
+from ..core.modules import ModuleDict
+from ..core.optim import OptimizerSet, adam
+from ..core.state import TrainState
+from ..ops import diffusion as gd
+from .ddpm import DDPM
+from .vqvae import VectorQuantizer
+
+_FIRST_STAGE = ("encoder", "decoder", "vq")
+
+
+class LatentDDPM(DDPM):
+    def __init__(self, datamodule: Any, encoder: Any = None,
+                 decoder: Any = None, latent_dim: int = 64,
+                 num_embeddings: int = 512, first_stage_ckpt: str = "",
+                 latent_scale: float = 1.0, **ddpm_kwargs):
+        self._latent_dim = int(latent_dim)
+        super().__init__(datamodule, **ddpm_kwargs)
+        self.save_hyperparameters(latent_dim=self._latent_dim,
+                                  num_embeddings=int(num_embeddings),
+                                  latent_scale=float(latent_scale),
+                                  first_stage_ckpt=str(first_stage_ckpt or ""))
+        self.latent_h = self.height // 4   # vqvae nets downsample 4x
+        self.latent_w = self.width // 4
+        self.modules = ModuleDict(
+            denoise=self.modules["denoise"],
+            encoder=instantiate(encoder, input_channel=self.channels,
+                                output_channel=self._latent_dim),
+            decoder=instantiate(decoder, input_channel=self._latent_dim,
+                                output_channel=self.channels),
+            vq=VectorQuantizer(int(num_embeddings), self._latent_dim))
+
+    # ----------------------------------------------------- DDPM space hooks
+    @property
+    def denoise_channels(self) -> int:
+        return self._latent_dim
+
+    def _sample_shape(self, n: int) -> tuple:
+        return (n, self.latent_h, self.latent_w, self._latent_dim)
+
+    def _to_diffusion_space(self, state, imgs: jnp.ndarray) -> jnp.ndarray:
+        # the first stage is frozen; stop_gradient keeps the (unowned)
+        # encoder out of the denoiser's grad graph explicitly
+        return jax.lax.stop_gradient(self.encode(state, imgs))
+
+    # -------------------------------------------------------- first stage
+    def encode(self, state: TrainState, imgs: jnp.ndarray) -> jnp.ndarray:
+        z, _ = self.modules.apply("encoder", state.params, state.mutables,
+                                  imgs, train=False)
+        return z * float(self.hparams.latent_scale)
+
+    def decode(self, state: TrainState, z: jnp.ndarray) -> jnp.ndarray:
+        z = z / float(self.hparams.latent_scale)
+        (quant, _vq, _c, _idx), _ = self.modules.apply(
+            "vq", state.params, state.mutables, z, train=False)
+        imgs, _ = self.modules.apply("decoder", state.params, state.mutables,
+                                     quant, train=False)
+        return imgs.reshape(z.shape[0], self.height, self.width,
+                            self.channels)
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        hp = self.hparams
+        # only the denoiser trains; the first stage has no optimizer
+        self.optimizers = OptimizerSet().add(
+            "opt", adam(hp.lr, hp.b1, hp.b2), ["denoise"])
+        zlat = jnp.zeros((1, self.latent_h, self.latent_w, self._latent_dim))
+        dummy = (zlat, jnp.zeros((1,)))
+        if self.num_classes:
+            dummy = dummy + (jnp.zeros((1,), jnp.int32),)
+        state = self.make_state(rng, {
+            "denoise": dummy,
+            "encoder": (self.dummy_image_batch(1),),
+            "decoder": (zlat,),
+            "vq": (zlat,),
+        })
+        if hp.ema_decay > 0:
+            state = state.replace(opt_states={
+                **state.opt_states, "ema": state.params["denoise"]})
+        ckpt = str(hp.first_stage_ckpt or "")
+        if ckpt:
+            state = self._load_first_stage(state, ckpt)
+        return state
+
+    def _load_first_stage(self, state: TrainState, ckpt: str) -> TrainState:
+        from ..core.checkpoint import CheckpointManager
+        raw = CheckpointManager(ckpt).restore_raw()
+        params = dict(state.params)
+        mutables = dict(state.mutables)
+        for name in _FIRST_STAGE:
+            if name not in raw["params"]:
+                raise ValueError(f"first_stage_ckpt {ckpt} has no '{name}' "
+                                 "params - not a vqvae checkpoint?")
+            have = jax.tree_util.tree_map(lambda x: jnp.shape(x),
+                                          params[name])
+            got = jax.tree_util.tree_map(lambda x: jnp.shape(x),
+                                         raw["params"][name])
+            if have != got:
+                raise ValueError(
+                    f"first-stage '{name}' shape mismatch (config vs "
+                    f"checkpoint):\n  config    {have}\n  checkpoint {got}")
+            params[name] = raw["params"][name]
+            if name in raw.get("mutables", {}):
+                mutables[name] = raw["mutables"][name]
+        return state.replace(params=params, mutables=mutables)
+
+    # -------------------------------------------------------------- output
+    def sample(self, state: TrainState, rng: jax.Array, n: int,
+               y=None) -> jnp.ndarray:
+        return self.decode(state, super().sample(state, rng, n, y=y))
+
+    def ddim_sample(self, state: TrainState, rng: jax.Array, n: int,
+                    steps: int = 50, eta: float = 0.0,
+                    y=None, guidance: float = 1.0) -> jnp.ndarray:
+        z = super().ddim_sample(state, rng, n, steps=steps, eta=eta,
+                                y=y, guidance=guidance)
+        return self.decode(state, z)
+
+    def validation_step(self, state: TrainState, batch, rng: jax.Array,
+                        sample: bool = False):
+        imgs_raw, _ = batch
+        imgs = self.preprocess(imgs_raw)
+        z = self.encode(state, imgs)
+        # first-stage fidelity: what the diffusion ceiling looks like
+        recon = self.decode(state, z)
+        metrics = {"val/first_stage_recon_mse":
+                   jnp.mean((recon - imgs) ** 2)}
+        # latent-space forward diffusion endpoint, decoded (the analog of
+        # DDPM's 'diffusion' panel)
+        n = imgs.shape[0]
+        noise_rng, sample_rng = jax.random.split(rng)
+        t = jnp.full((n,), self.timesteps - 1, jnp.int32)
+        zt = gd.q_sample(self.tables, z, t, jax.random.normal(noise_rng,
+                                                              z.shape))
+        result = {"real_image": imgs,
+                  "others": {"first_stage_recon": recon,
+                             "diffusion": self.decode(state, zt)}}
+        if sample:
+            n_s = int(self.hparams.sample_batch)
+            if self.hparams.val_sampler == "ddim":
+                cond = {}
+                if self.num_classes:
+                    cond = dict(y=self._default_labels(n_s),
+                                guidance=float(self.hparams.guidance_scale))
+                result["fake_image"] = self.ddim_sample(
+                    state, sample_rng, n_s,
+                    steps=int(self.hparams.ddim_steps), **cond)
+            else:
+                result["fake_image"] = self.sample(state, sample_rng, n_s)
+        return result, metrics

@@ -37,6 +37,10 @@ def get_logger(name: str = "igm_tpu", level: int = logging.INFO) -> logging.Logg
         handler = logging.StreamHandler()
         handler.setFormatter(logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] %(message)s"))
         logger.addHandler(handler)
+    if logger.handlers:
+        # absl (pulled in by orbax) later installs a root handler; without
+        # this, every record prints twice once checkpointing is enabled
+        logger.propagate = False
     return logger
 
 

@@ -53,6 +53,7 @@ SMOKE_EXPERIMENTS = [
     "ddpm/mnist",
     "ddpm/cifar10",
     "ddpm/cond_mnist",   # class-conditional + CFG (beyond parity)
+    "latent_ddpm/mnist",  # latent diffusion over a VQ-VAE (beyond parity)
 ]
 
 
@@ -70,7 +71,7 @@ def _run(config_dir, tmp_path, experiment, extra=()):
 @pytest.mark.parametrize("experiment", SMOKE_EXPERIMENTS)
 def test_smoke(config_dir, tmp_path, experiment):
     extra = []
-    if experiment.startswith("ddpm"):
+    if experiment.startswith(("ddpm", "latent_ddpm")):
         # tiny UNet + short chain so the scan sampler stays fast on CPU
         extra = ["model.hidden_dim=16", "model.timesteps=8",
                  "datamodule.batch_size=8", "+model.sample_batch=8"]
