@@ -23,6 +23,7 @@ sys.path.insert(0, str(REPO))
 CASES = [
     ("ddpm_cond", "ddpm/cond_mnist", 256, []),
     ("latent_ddpm", "latent_ddpm/cifar10", 256, []),
+    ("flow_matching", "flow/cifar10", 256, []),
 ]
 
 

@@ -7,7 +7,7 @@ listing is for interactive use::
 """
 
 __all__ = [
-    "aae", "age", "base", "BiGAN", "cvae", "ddpm", "factor_vae", "gan",
-    "info_gan", "latent_ddpm", "made", "pixelcnn", "speed_gan", "tar",
-    "vae", "vae_gan", "vqvae", "wgan", "wgan_gp",
+    "aae", "age", "base", "BiGAN", "cvae", "ddpm", "factor_vae",
+    "flow_matching", "gan", "info_gan", "latent_ddpm", "made", "pixelcnn",
+    "speed_gan", "tar", "vae", "vae_gan", "vqvae", "wgan", "wgan_gp",
 ]
