@@ -24,6 +24,7 @@ CASES = [
     ("ddpm_cond", "ddpm/cond_mnist", 256, []),
     ("latent_ddpm", "latent_ddpm/cifar10", 256, []),
     ("flow_matching", "flow/cifar10", 256, []),
+    ("realnvp", "realnvp/cifar10", 256, []),
 ]
 
 

@@ -54,5 +54,7 @@ run_one pixelcnn_mnist   pixelcnn/mnist   $((25*S))
 run_one tar_mnist        tar/mnist        $((25*S))
 run_one ddpm_cifar       ddpm/cifar10     $((30*S)) trainer.check_val_every_n_epoch=5
 run_one ddpm_celeba      ddpm/celeba      $((30*S)) trainer.check_val_every_n_epoch=10
+run_one flow_mnist       flow/mnist       $((30*S)) trainer.check_val_every_n_epoch=5
+run_one realnvp_mnist    realnvp/mnist    $((25*S)) trainer.check_val_every_n_epoch=5
 
 echo "[$(date +%H:%M:%S)] gallery complete"

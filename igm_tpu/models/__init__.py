@@ -9,5 +9,6 @@ listing is for interactive use::
 __all__ = [
     "aae", "age", "base", "BiGAN", "cvae", "ddpm", "factor_vae",
     "flow_matching", "gan", "info_gan", "latent_ddpm", "made", "pixelcnn",
-    "speed_gan", "tar", "vae", "vae_gan", "vqvae", "wgan", "wgan_gp",
+    "realnvp", "speed_gan", "tar", "vae", "vae_gan", "vqvae", "wgan",
+    "wgan_gp",
 ]
