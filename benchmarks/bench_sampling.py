@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""DDPM ancestral-sampling throughput (samples/sec/chip).
+"""Sampling/inference throughput (samples/sec/chip).
 
 The reference's hottest inference loop (SURVEY.md §3.4): 1000 sequential
 UNet forwards per batch, a Python loop in torch (`src/models/ddpm.py:399`).
-Here the whole chain is one compiled lax.scan; this script measures
-end-to-end samples/sec for the CIFAR-10 flagship config.
+Here every chain is one compiled lax.scan; this script measures end-to-end
+samples/sec for the CIFAR-10-size configs: DDPM ancestral + DDIM-50,
+flow-matching Heun-50, and RealNVP's single inverse conv stack.
 """
 from __future__ import annotations
 
@@ -17,6 +18,22 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BATCH = int(os.environ.get("IGM_BENCH_BATCH", "64"))
+ITERS = 3
+
+
+def bench(sample_fn, state, metric: str, **extra) -> None:
+    """Pre-compile (warmup call), then hard-fence ITERS timed calls."""
+    import jax
+    jax.block_until_ready(sample_fn(state, jax.random.PRNGKey(1)))
+    t0 = time.perf_counter()
+    out = None
+    for i in range(ITERS):
+        out = sample_fn(state, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"metric": metric,
+                      "value": round(BATCH * ITERS / dt, 3),
+                      "unit": "samples/sec", "batch": BATCH, **extra}))
 
 
 def main() -> None:
@@ -37,41 +54,29 @@ def main() -> None:
     model.steps_per_epoch = 391
     state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
 
-    sample = jax.jit(lambda s, r: model.sample(s, r, BATCH))
-    out = sample(state, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
-
-    iters = 3
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = sample(state, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    print(json.dumps({
-        "metric": "ddpm_cifar10_samples_per_sec",
-        "value": round(BATCH * iters / dt, 3),
-        "unit": "samples/sec",
-        "batch": BATCH,
-        "timesteps": 1000,
-    }))
+    bench(jax.jit(lambda s, r: model.sample(s, r, BATCH)), state,
+          "ddpm_cifar10_samples_per_sec", timesteps=1000)
 
     # DDIM-50 (beyond-parity fast sampler, models/ddpm.py ddim_sample)
-    ddim = jax.jit(lambda s, r: model.ddim_sample(s, r, BATCH, steps=50))
-    out = ddim(state, jax.random.PRNGKey(1))
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = ddim(state, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": "ddpm_cifar10_ddim50_samples_per_sec",
-        "value": round(BATCH * iters / dt, 3),
-        "unit": "samples/sec",
-        "batch": BATCH,
-        "timesteps": 50,
-    }))
+    bench(jax.jit(lambda s, r: model.ddim_sample(s, r, BATCH, steps=50)),
+          state, "ddpm_cifar10_ddim50_samples_per_sec", timesteps=50)
+
+    # flow matching: 50-step Heun ODE (100 UNet evals) on the same-size UNet
+    from igm_tpu.models.flow_matching import FlowMatching
+    fm = FlowMatching(datamodule=dm_cfg, hidden_dim=64, dim_mults=[1, 2, 4],
+                      sample_steps=50, sampler="heun")
+    fm.steps_per_epoch = 391
+    fstate = jax.jit(fm.init_state)(jax.random.PRNGKey(0))
+    bench(jax.jit(lambda s, r: fm.sample(s, r, BATCH)), fstate,
+          "flow_cifar10_heun50_samples_per_sec", ode_steps=50)
+
+    # realnvp: sampling is ONE inverse conv stack (no chain at all)
+    from igm_tpu.models.realnvp import RealNVP
+    nvp = RealNVP(datamodule=dm_cfg, hidden_dim=128)
+    nvp.steps_per_epoch = 391
+    nstate = jax.jit(nvp.init_state)(jax.random.PRNGKey(0))
+    bench(jax.jit(lambda s, r: nvp.sample(s, r, BATCH)), nstate,
+          "realnvp_cifar10_samples_per_sec")
 
 
 if __name__ == "__main__":

@@ -230,9 +230,10 @@ class RealNVP(BaseModel):
     def validation_step(self, state: TrainState, batch, rng: jax.Array,
                         sample: bool = False):
         imgs_raw, _ = batch
-        bpd, _ = self._bpd(state.params, state.mutables, imgs_raw, rng)
+        u_rng, sample_rng = jax.random.split(rng)
+        bpd, _ = self._bpd(state.params, state.mutables, imgs_raw, u_rng)
         result = {"real_image": self.preprocess(imgs_raw)}
         if sample:
             result["fake_image"] = self.sample(
-                state, rng, int(self.hparams.sample_batch))
+                state, sample_rng, int(self.hparams.sample_batch))
         return result, {"val_bpd": bpd}

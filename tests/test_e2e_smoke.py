@@ -54,6 +54,8 @@ SMOKE_EXPERIMENTS = [
     "ddpm/cifar10",
     "ddpm/cond_mnist",   # class-conditional + CFG (beyond parity)
     "latent_ddpm/mnist",  # latent diffusion over a VQ-VAE (beyond parity)
+    "flow/cond_mnist",   # flow matching + CFG (beyond parity)
+    "realnvp/mnist",     # exact-likelihood flow (beyond parity)
 ]
 
 
@@ -75,6 +77,12 @@ def test_smoke(config_dir, tmp_path, experiment):
         # tiny UNet + short chain so the scan sampler stays fast on CPU
         extra = ["model.hidden_dim=16", "model.timesteps=8",
                  "datamodule.batch_size=8", "+model.sample_batch=8"]
+    if experiment.startswith("flow"):
+        extra = ["model.hidden_dim=16", "model.sample_steps=3",
+                 "datamodule.batch_size=8", "+model.sample_batch=8"]
+    if experiment.startswith("realnvp"):
+        extra = ["model.hidden_dim=16", "datamodule.batch_size=8",
+                 "+model.sample_batch=8"]
     if experiment.startswith(("pixelcnn", "made", "tar")):
         extra = ["datamodule.batch_size=8"]
         if experiment.startswith("pixelcnn"):

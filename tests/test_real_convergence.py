@@ -97,6 +97,32 @@ def test_ddpm_real_mnist_loss_threshold(config_dir, tmp_path):
     assert final < 0.8, final
 
 
+def test_flow_matching_real_mnist_loss_threshold(config_dir, tmp_path):
+    """Flow matching on real digits: untrained velocity-MSE is ~1.5 (the
+    target x1-x0 has variance ~2 around a zero net); the archived 30-epoch
+    TPU run (benchmarks/real_runs/flow_mnist) fell 1.49 -> 0.54 by epoch 4;
+    assert < 0.9 after two epochs at a narrow width."""
+    _train_real(config_dir, tmp_path, "flow/mnist", epochs=2,
+                extra=["model.hidden_dim=16", "datamodule.batch_size=32",
+                       "trainer.check_val_every_n_epoch=10",
+                       "trainer.num_sanity_val_steps=0"])
+    final = _final_scalar(tmp_path, "train_loss/loss")
+    assert final < 0.9, final
+
+
+def test_realnvp_real_mnist_bpd_threshold(config_dir, tmp_path):
+    """Exact-likelihood flow on real digits: init bpd ~7.6 (closed-form
+    logit-normal, tests/test_realnvp.py); the archived 25-epoch TPU run
+    (benchmarks/real_runs/realnvp_mnist) reached train_bpd 5.04 by epoch 4
+    and val_bpd 2.97 at the end; assert train_bpd < 6.2 after 3 epochs."""
+    _train_real(config_dir, tmp_path, "realnvp/mnist", epochs=3,
+                extra=["model.hidden_dim=32", "datamodule.batch_size=32",
+                       "trainer.check_val_every_n_epoch=10",
+                       "trainer.num_sanity_val_steps=0"])
+    final = _final_scalar(tmp_path, "train_bpd")
+    assert final < 6.2, final
+
+
 def test_gan_real_mnist_both_losses_finite(config_dir, tmp_path):
     """Adversarial training on real digits: both G and D losses logged,
     finite, and D-loss departs from its untrained value (learning signal
