@@ -16,9 +16,33 @@ import jax.numpy as jnp
 from ..core.modules import ModuleDict
 from ..core.optim import OptimizerSet, adam
 from ..core.state import TrainState, bump
+from ..networks.dit import DiT
 from ..networks.unet import Unet
 from ..ops import diffusion as gd
 from .base import BaseModel
+
+
+def build_denoiser(network: str, *, hidden_dim: int, channels: int,
+                   dim_mults, dtype, num_classes: int, remat: bool,
+                   pallas_gn: bool = False, depth: int = 8, heads: int = 6,
+                   patch: int = 2):
+    """Backbone factory shared by the diffusion-style models.
+
+    ``network="unet"`` is the parity conv UNet
+    (`/root/reference/src/models/ddpm.py:170-261`); ``"dit"`` is the
+    beyond-parity transformer backbone (networks/dit.py) whose
+    GEMM-dominated shape buys MFU headroom on TPU.  ``hidden_dim`` doubles
+    as the DiT token width."""
+    if network == "unet":
+        return Unet(dim=hidden_dim, channels=channels,
+                    dim_mults=tuple(dim_mults), dtype=dtype,
+                    num_classes=num_classes, remat=remat,
+                    pallas_gn=pallas_gn)
+    if network == "dit":
+        return DiT(dim=hidden_dim, depth=depth, heads=heads, patch=patch,
+                   channels=channels, num_classes=num_classes, dtype=dtype,
+                   remat=remat)
+    raise ValueError(f"network must be unet|dit, got {network!r}")
 
 
 class DDPM(BaseModel):
@@ -31,7 +55,8 @@ class DDPM(BaseModel):
                  ema_decay: float = 0.0, val_sampler: str = "ancestral",
                  ddim_steps: int = 50, pallas_gn: str | bool = "auto",
                  num_classes: int | None = 0, cond_drop_prob: float = 0.1,
-                 guidance_scale: float = 2.0, **kwargs):
+                 guidance_scale: float = 2.0, network: str = "unet",
+                 depth: int = 8, heads: int = 6, patch: int = 2, **kwargs):
         super().__init__(datamodule)
         # class-conditional DDPM + classifier-free guidance (beyond parity;
         # the reference DDPM is unconditional).  num_classes=0 keeps the
@@ -47,7 +72,9 @@ class DDPM(BaseModel):
                                   ddim_steps=ddim_steps,
                                   num_classes=self.num_classes,
                                   cond_drop_prob=cond_drop_prob,
-                                  guidance_scale=guidance_scale)
+                                  guidance_scale=guidance_scale,
+                                  network=network, depth=depth, heads=heads,
+                                  patch=patch)
         self.timesteps = int(timesteps)
         self.tables = gd.make_tables(self.timesteps, beta_schedule)
         # bfloat16 convs on TPU (MXU fast path; params + loss stay f32);
@@ -63,10 +90,13 @@ class DDPM(BaseModel):
             import os
             pallas_gn = os.environ.get("IGM_PALLAS_GN", "0") == "1"
         self.modules = ModuleDict(
-            denoise=Unet(dim=hidden_dim, channels=self.denoise_channels,
-                         dim_mults=tuple(dim_mults), dtype=dtype,
-                         num_classes=self.num_classes,
-                         remat=bool(remat), pallas_gn=bool(pallas_gn)))
+            denoise=build_denoiser(network, hidden_dim=hidden_dim,
+                                   channels=self.denoise_channels,
+                                   dim_mults=dim_mults, dtype=dtype,
+                                   num_classes=self.num_classes,
+                                   remat=bool(remat),
+                                   pallas_gn=bool(pallas_gn), depth=depth,
+                                   heads=heads, patch=patch))
 
     # hooks overridden by LatentDDPM (diffusion in a learned latent space)
     @property

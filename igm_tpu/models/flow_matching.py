@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from ..core.modules import ModuleDict
 from ..core.optim import OptimizerSet, adam
 from ..core.state import TrainState, bump
-from ..networks.unet import Unet
 from .base import BaseModel
+from .ddpm import build_denoiser
 
 # UNet's SinusoidalPosEmb frequencies are laid out for t in [0, ~1000)
 # (DDPM timestep range); flow-matching time lives in [0, 1] so it is
@@ -48,7 +48,8 @@ class FlowMatching(BaseModel):
                  compute_dtype: str = "auto", remat: bool = False,
                  ema_decay: float = 0.0,
                  num_classes: int | None = 0, cond_drop_prob: float = 0.1,
-                 guidance_scale: float = 2.0, **kwargs):
+                 guidance_scale: float = 2.0, network: str = "unet",
+                 depth: int = 8, heads: int = 6, patch: int = 2, **kwargs):
         super().__init__(datamodule)
         self.num_classes = int(num_classes or 0)
         self.save_hyperparameters(
@@ -56,7 +57,8 @@ class FlowMatching(BaseModel):
             b2=b2, sigma_min=sigma_min, sample_steps=sample_steps,
             sampler=sampler, sample_batch=sample_batch, ema_decay=ema_decay,
             num_classes=self.num_classes, cond_drop_prob=cond_drop_prob,
-            guidance_scale=guidance_scale)
+            guidance_scale=guidance_scale, network=network, depth=depth,
+            heads=heads, patch=patch)
         if sampler not in ("euler", "heun"):
             raise ValueError(f"sampler must be euler|heun, got {sampler!r}")
         if compute_dtype == "auto":
@@ -64,9 +66,12 @@ class FlowMatching(BaseModel):
                              else "float32")
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
         self.modules = ModuleDict(
-            velocity=Unet(dim=hidden_dim, channels=self.channels,
-                          dim_mults=tuple(dim_mults), dtype=dtype,
-                          num_classes=self.num_classes, remat=bool(remat)))
+            velocity=build_denoiser(network, hidden_dim=hidden_dim,
+                                    channels=self.channels,
+                                    dim_mults=dim_mults, dtype=dtype,
+                                    num_classes=self.num_classes,
+                                    remat=bool(remat), depth=depth,
+                                    heads=heads, patch=patch))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams

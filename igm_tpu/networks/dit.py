@@ -1,0 +1,180 @@
+"""DiT — Diffusion Transformer denoiser (Peebles & Xie 2023), TPU-first.
+
+Beyond-parity backbone: the reference only ships the conv UNet
+(`/root/reference/src/models/ddpm.py:170-261`), whose 64-wide convs cap out
+at ~41% MFU on v5e (docs/MFU.md — half-filled MXU tiles).  A transformer
+over patch tokens is GEMM-dominated end to end, so it is the idiomatic way
+to buy MFU headroom on TPU rather than hand-fusing the UNet further.
+
+TPU-first choices (not a torch translation — no torch DiT exists in the
+reference):
+- widths are multiples of 128 so every GEMM fills whole MXU lanes;
+- one fused qkv projection (a single (D, 3D) GEMM) per block;
+- bf16 compute with f32 LayerNorm statistics and an f32 output head;
+- fixed 2-D sin/cos positional table built at trace time (a constant folded
+  into the program — no host transfer, no params);
+- static shapes everywhere: patchify/unpatchify are pure reshapes +
+  transposes XLA lays out for free next to the embedding GEMMs.
+
+Conditioning is adaLN-Zero: every block's 6 modulation vectors
+(shift/scale/gate x attn/mlp) come from a zero-initialised projection of
+the (timestep [+ class]) embedding, so each residual branch is exactly
+identity at init and the whole network outputs exactly 0 — the property
+test anchors on this.
+
+Call signature matches :class:`igm_tpu.networks.unet.Unet`:
+``(x NHWC, time (B,), y optional (B,) int)`` -> NHWC prediction, so models
+swap backbones with a config knob (``model.network=dit``).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .unet import SinusoidalPosEmb
+
+
+def _sincos_2d(h: int, w: int, dim: int) -> np.ndarray:
+    """Fixed 2-D sin/cos position table, (h*w, dim), f32 numpy (trace-time
+    constant).  Half the channels encode the row index, half the column."""
+    assert dim % 4 == 0, "DiT width must be divisible by 4 for 2-D sincos"
+    quarter = dim // 4
+    omega = 1.0 / (10000.0 ** (np.arange(quarter, dtype=np.float64) / quarter))
+
+    def axis(pos):  # (n,) -> (n, dim//2)
+        args = np.outer(pos, omega)
+        return np.concatenate([np.sin(args), np.cos(args)], axis=1)
+
+    gy, gx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    emb = np.concatenate([axis(gy.reshape(-1)), axis(gx.reshape(-1))], axis=1)
+    return emb.astype(np.float32)
+
+
+class _Modulation(nn.Module):
+    """adaLN-Zero projection: conditioning -> n_chunks modulation vectors.
+
+    Zero-initialised so every gate/scale/shift starts at 0 (identity
+    residual branches, zero output head)."""
+    dim: int
+    n_chunks: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, c: jnp.ndarray) -> tuple:
+        m = nn.Dense(self.dim * self.n_chunks, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros)(nn.silu(c))
+        return tuple(jnp.split(m[:, None, :], self.n_chunks, axis=-1))
+
+
+def _layernorm_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """Affine-free LayerNorm with f32 statistics, output in x.dtype."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+
+
+class DiTBlock(nn.Module):
+    dim: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        d, h = self.dim, self.heads
+        hd = d // h
+        (s_a, g_a, gate_a, s_m, g_m, gate_m) = _Modulation(
+            d, 6, dtype=self.dtype)(c)
+
+        # --- attention branch (one fused qkv GEMM; f32 softmax) ---
+        a = _layernorm_f32(x) * (1.0 + g_a) + s_a
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(a)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, n, _ = q.shape
+        q = q.reshape(b, n, h, hd)
+        k = k.reshape(b, n, h, hd)
+        v = v.reshape(b, n, h, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * (1.0 / math.sqrt(hd)), axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                       preferred_element_type=jnp.float32)
+        o = nn.Dense(d, dtype=self.dtype, name="proj")(
+            o.astype(self.dtype or jnp.float32).reshape(b, n, d))
+        x = x + gate_a * o
+
+        # --- MLP branch ---
+        m = _layernorm_f32(x) * (1.0 + g_m) + s_m
+        m = nn.Dense(self.mlp_ratio * d, dtype=self.dtype)(m)
+        m = nn.gelu(m, approximate=True)
+        m = nn.Dense(d, dtype=self.dtype)(m)
+        return x + gate_m * m
+
+
+class DiT(nn.Module):
+    """Patch-token diffusion transformer.
+
+    ``num_classes > 0`` adds a class embedding table with a trailing *null
+    token* row (classifier-free guidance, same recipe as the conditional
+    UNet); ``y`` is then required.
+    """
+    dim: int = 384           # token width — keep a multiple of 128 (MXU lanes)
+    depth: int = 8
+    heads: int = 6
+    patch: int = 2
+    channels: int = 3
+    mlp_ratio: int = 4
+    num_classes: int = 0
+    dtype: Any = None        # compute dtype (bfloat16 on TPU)
+    remat: bool = False      # jax.checkpoint each block
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, time: jnp.ndarray,
+                 y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        b, hh, ww, cc = x.shape
+        p = self.patch
+        if hh % p or ww % p:
+            raise ValueError(f"image {hh}x{ww} not divisible by patch {p}")
+        gh, gw = hh // p, ww // p
+
+        # patchify: (B,H,W,C) -> (B, gh*gw, p*p*C), then embed (one GEMM)
+        tok = x.reshape(b, gh, p, gw, p, cc).transpose(0, 1, 3, 2, 4, 5)
+        tok = tok.reshape(b, gh * gw, p * p * cc)
+        tok = nn.Dense(self.dim, dtype=self.dtype, name="patch_embed")(tok)
+        pos = jnp.asarray(_sincos_2d(gh, gw, self.dim))
+        tok = tok + pos[None].astype(tok.dtype)
+
+        # conditioning vector: timestep (+ class) embedding
+        t = SinusoidalPosEmb(256)(time)
+        t = nn.Dense(self.dim, dtype=self.dtype)(t)
+        t = nn.silu(t)
+        c = nn.Dense(self.dim, dtype=self.dtype)(t)
+        if self.num_classes:
+            if y is None:
+                raise ValueError("conditional DiT (num_classes>0) needs y")
+            emb = nn.Embed(self.num_classes + 1, self.dim, name="class_emb",
+                           param_dtype=jnp.float32)
+            c = c + emb(y.astype(jnp.int32)).astype(c.dtype)
+
+        Block = nn.remat(DiTBlock) if self.remat else DiTBlock
+        for _ in range(self.depth):
+            tok = Block(self.dim, self.heads, self.mlp_ratio,
+                        dtype=self.dtype)(tok, c)
+
+        # zero-init output head: exact 0 prediction at init
+        s_f, g_f = _Modulation(self.dim, 2, dtype=self.dtype)(c)
+        tok = _layernorm_f32(tok) * (1.0 + g_f) + s_f
+        tok = nn.Dense(p * p * cc, dtype=jnp.float32, name="head",
+                       kernel_init=nn.initializers.zeros)(
+            tok.astype(jnp.float32))
+
+        # unpatchify back to NHWC
+        out = tok.reshape(b, gh, gw, p, p, cc).transpose(0, 1, 3, 2, 4, 5)
+        return out.reshape(b, hh, ww, cc)
