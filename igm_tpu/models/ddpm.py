@@ -53,7 +53,8 @@ class DDPM(BaseModel):
                  beta_schedule: str = "cosine", sample_batch: int = 64,
                  compute_dtype: str = "auto", remat: bool = False,
                  ema_decay: float = 0.0, val_sampler: str = "ancestral",
-                 ddim_steps: int = 50, pallas_gn: str | bool = "auto",
+                 ddim_steps: int = 50, dpm_steps: int = 20,
+                 pallas_gn: str | bool = "auto",
                  num_classes: int | None = 0, cond_drop_prob: float = 0.1,
                  guidance_scale: float = 2.0, network: str = "unet",
                  depth: int = 8, heads: int = 6, patch: int = 2, **kwargs):
@@ -69,7 +70,7 @@ class DDPM(BaseModel):
                                   sample_batch=sample_batch,
                                   ema_decay=ema_decay,
                                   val_sampler=val_sampler,
-                                  ddim_steps=ddim_steps,
+                                  ddim_steps=ddim_steps, dpm_steps=dpm_steps,
                                   num_classes=self.num_classes,
                                   cond_drop_prob=cond_drop_prob,
                                   guidance_scale=guidance_scale,
@@ -282,6 +283,66 @@ class DDPM(BaseModel):
                                  (seq[::-1], seq_prev[::-1]))
         return x
 
+    def dpm_sample(self, state: TrainState, rng: jax.Array, n: int,
+                   steps: int = 20, y=None,
+                   guidance: float = 1.0) -> jnp.ndarray:
+        """DPM-Solver++(2M) (Lu et al. 2022) — deterministic second-order
+        multistep ODE sampler in half-log-SNR (lambda) space, beyond-parity
+        fast inference: comparable sample quality to DDIM-50 in ~20 model
+        evaluations.  Data-prediction form; one ``lax.scan`` whose carry
+        holds the previous step's x0 prediction and lambda gap (the
+        multistep history), so the whole chain is a single device program
+        like the other samplers."""
+        shape = self._sample_shape(n)
+        # same split convention as ddim_sample: a deterministic sampler only
+        # consumes the init key, so ddim(eta=0) and dpm start from the SAME
+        # noise for a given rng (the agreement test relies on this)
+        init_rng, _ = jax.random.split(rng)
+        x = jax.random.normal(init_rng, shape)
+        seq = jnp.linspace(0, self.timesteps - 1,
+                           steps).round().astype(jnp.int32)
+        t_cur = seq[::-1]
+        t_next = jnp.concatenate([jnp.array([-1], jnp.int32), seq[:-1]])[::-1]
+        acp = self.tables.alphas_cumprod
+
+        def lam(a):
+            return 0.5 * (jnp.log(a) - jnp.log1p(-a))
+
+        def step(carry, ts):
+            x, x0_prev, h_prev = carry
+            t, tn = ts
+            a_cur = acp[t]
+            sigma_cur = jnp.sqrt(1.0 - a_cur)
+            lam_cur = lam(a_cur)
+            final = tn < 0  # virtual t=-1 endpoint: alpha=1, sigma=0
+            a_next = acp[jnp.maximum(tn, 0)]
+            alpha_n = jnp.where(final, 1.0, jnp.sqrt(a_next))
+            sigma_n = jnp.where(final, 0.0, jnp.sqrt(1.0 - a_next))
+            # h=30 makes expm1(-h) == -1 to f32 precision (the exact
+            # sigma->0 limit, where the update returns D itself)
+            lam_n = jnp.where(final, lam_cur + 30.0, lam(a_next))
+
+            tb = jnp.full((shape[0],), t, jnp.int32)
+            eps = self._eps(state, x, tb.astype(jnp.float32), y, guidance)
+            x0 = gd.predict_start_from_noise(self.tables, x, tb, eps)
+            x0 = jnp.clip(x0, -1.0, 1.0)
+
+            h = lam_n - lam_cur
+            # first step has no multistep history; the FINAL (sigma->0)
+            # step must also drop to first order — its virtual h is not a
+            # real lambda gap, and the 2M correction would divide by it
+            # (the standard "lower_order_final" rule)
+            first_order = (h_prev == 0.0) | final
+            r = h_prev / jnp.where(h == 0.0, 1.0, h)
+            d2 = x0 + (x0 - x0_prev) / jnp.maximum(2.0 * r, 1e-12)
+            d = jnp.where(first_order, x0, d2)
+            x = (sigma_n / sigma_cur) * x - alpha_n * jnp.expm1(-h) * d
+            return (x, x0, h), None
+
+        (x, _, _), _ = jax.lax.scan(
+            step, (x, jnp.zeros(shape), jnp.asarray(0.0)), (t_cur, t_next))
+        return x
+
     def interpolate(self, state, rng, x1, x2, t: int | None = None,
                     weight: float = 0.5) -> jnp.ndarray:
         """(ddpm.py:417-431) diffuse both to t, lerp, denoise back."""
@@ -306,15 +367,18 @@ class DDPM(BaseModel):
         result = {"real_image": imgs, "others": {"diffusion": diffusion_imgs}}
         if sample:
             n_s = int(self.hparams.sample_batch)
-            if self.hparams.val_sampler == "ddim":
-                # beyond-parity: 20x cheaper validation sampling
+            fast = {"ddim": (self.ddim_sample, "ddim_steps"),
+                    "dpm": (self.dpm_sample, "dpm_steps")}
+            if self.hparams.val_sampler in fast:
+                # beyond-parity: 20-50x cheaper validation sampling
+                fn, steps_key = fast[self.hparams.val_sampler]
                 cond = {}
                 if self.num_classes:
                     cond = dict(y=self._default_labels(n_s),
                                 guidance=float(self.hparams.guidance_scale))
-                result["fake_image"] = self.ddim_sample(
+                result["fake_image"] = fn(
                     state, sample_rng, n_s,
-                    steps=int(self.hparams.ddim_steps), **cond)
+                    steps=int(self.hparams[steps_key]), **cond)
             else:
                 result["fake_image"] = self.sample(state, sample_rng, n_s)
         return result, {}

@@ -145,6 +145,13 @@ class LatentDDPM(DDPM):
                                 y=y, guidance=guidance)
         return self.decode(state, z)
 
+    def dpm_sample(self, state: TrainState, rng: jax.Array, n: int,
+                   steps: int = 20, y=None,
+                   guidance: float = 1.0) -> jnp.ndarray:
+        z = super().dpm_sample(state, rng, n, steps=steps, y=y,
+                               guidance=guidance)
+        return self.decode(state, z)
+
     def validation_step(self, state: TrainState, batch, rng: jax.Array,
                         sample: bool = False):
         imgs_raw, _ = batch
@@ -166,14 +173,17 @@ class LatentDDPM(DDPM):
                              "diffusion": self.decode(state, zt)}}
         if sample:
             n_s = int(self.hparams.sample_batch)
-            if self.hparams.val_sampler == "ddim":
+            fast = {"ddim": (self.ddim_sample, "ddim_steps"),
+                    "dpm": (self.dpm_sample, "dpm_steps")}
+            if self.hparams.val_sampler in fast:
+                fn, steps_key = fast[self.hparams.val_sampler]
                 cond = {}
                 if self.num_classes:
                     cond = dict(y=self._default_labels(n_s),
                                 guidance=float(self.hparams.guidance_scale))
-                result["fake_image"] = self.ddim_sample(
+                result["fake_image"] = fn(
                     state, sample_rng, n_s,
-                    steps=int(self.hparams.ddim_steps), **cond)
+                    steps=int(self.hparams[steps_key]), **cond)
             else:
                 result["fake_image"] = self.sample(state, sample_rng, n_s)
         return result, metrics

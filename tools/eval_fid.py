@@ -90,6 +90,8 @@ def main() -> None:
 
     if args.sampler == "ddim" and hasattr(model, "ddim_sample"):
         sampler = jax.jit(lambda s, r: model.ddim_sample(s, r, args.batch))
+    elif args.sampler == "dpm" and hasattr(model, "dpm_sample"):
+        sampler = jax.jit(lambda s, r: model.dpm_sample(s, r, args.batch))
     else:
         sampler = jax.jit(lambda s, r: model.sample(s, r, args.batch))
     done = 0
