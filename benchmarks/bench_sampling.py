@@ -61,6 +61,11 @@ def main() -> None:
     bench(jax.jit(lambda s, r: model.ddim_sample(s, r, BATCH, steps=50)),
           state, "ddpm_cifar10_ddim50_samples_per_sec", timesteps=50)
 
+    # DPM-Solver++(2M)-20 (2nd-order multistep; DDIM-50 quality class in
+    # 20 evals, models/ddpm.py dpm_sample)
+    bench(jax.jit(lambda s, r: model.dpm_sample(s, r, BATCH, steps=20)),
+          state, "ddpm_cifar10_dpm20_samples_per_sec", timesteps=20)
+
     # flow matching: 50-step Heun ODE (100 UNet evals) on the same-size UNet
     from igm_tpu.models.flow_matching import FlowMatching
     fm = FlowMatching(datamodule=dm_cfg, hidden_dim=64, dim_mults=[1, 2, 4],

@@ -56,5 +56,8 @@ run_one ddpm_cifar       ddpm/cifar10     $((30*S)) trainer.check_val_every_n_ep
 run_one ddpm_celeba      ddpm/celeba      $((30*S)) trainer.check_val_every_n_epoch=10
 run_one flow_mnist       flow/mnist       $((30*S)) trainer.check_val_every_n_epoch=5
 run_one realnvp_mnist    realnvp/mnist    $((25*S)) trainer.check_val_every_n_epoch=5
+# DiT backbone + DPM-Solver validation sampling in one run (round 3)
+run_one ddpm_cifar_dit   ddpm/cifar10_dit $((30*S)) \
+    trainer.check_val_every_n_epoch=5 +model.val_sampler=dpm
 
 echo "[$(date +%H:%M:%S)] gallery complete"
