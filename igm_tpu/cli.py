@@ -234,6 +234,13 @@ def sample_main(argv=None) -> None:
                         help="class label (conditional models, e.g. "
                              "ddpm/cond_mnist): draw all n samples from "
                              "this class")
+    parser.add_argument("--inpaint", default=None,
+                        choices=["left", "right", "top", "bottom", "center"],
+                        help="diffusion models: erase this region of n "
+                             "validation images and inpaint it (RePaint); "
+                             "grid shows masked inputs then results")
+    parser.add_argument("--resample", type=int, default=1,
+                        help="RePaint resampling passes per step (U)")
     args = parser.parse_args(argv)
 
     from igm_tpu.utils.platform import apply_platform_env
@@ -251,20 +258,45 @@ def sample_main(argv=None) -> None:
     template = jax.jit(model.init_state)(jax.random.PRNGKey(0))
     state = CheckpointManager(args.ckpt).restore(template)
 
+    import jax.numpy as jnp
+
     kwargs = {}
     if args.label is not None:
         import inspect
-
-        import jax.numpy as jnp
-        if "y" not in inspect.signature(model.sample).parameters:
-            raise SystemExit(f"--label: {type(model).__name__}.sample is "
+        target = model.inpaint if args.inpaint else model.sample
+        if "y" not in inspect.signature(target).parameters:
+            raise SystemExit(f"--label: {type(model).__name__} is "
                              "not class-conditional")
         kwargs["y"] = jnp.full((args.n,), args.label, jnp.int32)
-    imgs = model.sample(state, jax.random.PRNGKey(args.seed), args.n,
-                        **kwargs)
-    grid = get_grid_images(np.asarray(imgs), model, nimgs=args.n)
+
+    if args.inpaint:
+        if not hasattr(model, "inpaint"):
+            raise SystemExit(f"--inpaint: {type(model).__name__} has no "
+                             "inpaint sampler (diffusion models only)")
+        dm = instantiate(cfg.datamodule)
+        dm.prepare_data()
+        dm.setup()
+        x0 = model.preprocess(jnp.asarray(dm.val_arrays()[0][:args.n]))
+        h, w = x0.shape[1], x0.shape[2]
+        mask = np.ones((1, h, w, 1), np.float32)  # 1 = known, 0 = hole
+        region = {"left": np.s_[:, :, : w // 2], "right": np.s_[:, :, w // 2:],
+                  "top": np.s_[:, : h // 2], "bottom": np.s_[:, h // 2:],
+                  "center": np.s_[:, h // 4: 3 * h // 4, w // 4: 3 * w // 4]}
+        mask[region[args.inpaint]] = 0.0
+        mask = jnp.asarray(mask)
+        painted = jax.jit(lambda r: model.inpaint(
+            state, r, x0, mask, resample=args.resample, **kwargs))(
+                jax.random.PRNGKey(args.seed))
+        masked = mask * x0  # holes render mid-gray in [-1,1] space
+        imgs = jnp.concatenate([masked, painted])
+        n_show = 2 * args.n
+    else:
+        imgs = model.sample(state, jax.random.PRNGKey(args.seed), args.n,
+                            **kwargs)
+        n_show = args.n
+    grid = get_grid_images(np.asarray(imgs), model, nimgs=n_show)
     save_image_grid(grid, args.out)
-    print(f"wrote {args.out} ({args.n} samples, step {int(state.step)})")
+    print(f"wrote {args.out} ({n_show} images, step {int(state.step)})")
 
 
 if __name__ == "__main__":  # python -m igm_tpu.cli == igm-train

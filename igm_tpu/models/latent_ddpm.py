@@ -152,6 +152,24 @@ class LatentDDPM(DDPM):
                                guidance=guidance)
         return self.decode(state, z)
 
+    def inpaint(self, state, rng, x0, mask, resample: int = 1,
+                y=None, guidance: float = 1.0) -> jnp.ndarray:
+        """Latent-space RePaint: encode the known image, inpaint in latent
+        space with the pixel mask min-pooled to the latent grid (a latent
+        cell counts as known only if EVERY pixel it covers is known — holes
+        expand, never shrink), decode, then composite the known pixels back
+        exactly.  ``mask``/``x0`` are pixel-space like DDPM.inpaint."""
+        mask = jnp.broadcast_to(mask, x0.shape).astype(x0.dtype)
+        n, h, w = x0.shape[0], x0.shape[1], x0.shape[2]
+        fh, fw = h // self.latent_h, w // self.latent_w
+        zmask = (mask.min(axis=-1)
+                 .reshape(n, self.latent_h, fh, self.latent_w, fw)
+                 .min(axis=(2, 4))[..., None])
+        z0 = self._to_diffusion_space(state, x0)
+        z = super().inpaint(state, rng, z0, zmask, resample=resample,
+                            y=y, guidance=guidance)
+        return mask * x0 + (1.0 - mask) * self.decode(state, z)
+
     def validation_step(self, state: TrainState, batch, rng: jax.Array,
                         sample: bool = False):
         imgs_raw, _ = batch
