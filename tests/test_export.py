@@ -63,3 +63,37 @@ def test_export_run_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "output (4," in out.stdout.replace("(4, ", "(4,"), out.stdout
     assert grid.exists() and grid.stat().st_size > 100
+
+
+@pytest.mark.slow
+def test_export_fast_sampler_ddpm(tmp_path):
+    """--sampler dpm exports the 2nd-order fast sampler (serving path for
+    diffusion: ~steps model evals instead of the full ancestral chain)."""
+    art = tmp_path / "ddpm.jaxexport"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export.py"),
+         "experiment=ddpm/mnist", "model.hidden_dim=8",
+         "model.dim_mults=[1,2]", "model.timesteps=8",
+         "--n", "2", "--sampler", "dpm", "--steps", "4",
+         "--platforms", "cpu", "--out", str(art)],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta = json.loads((tmp_path / "ddpm.jaxexport.json").read_text())
+    assert meta["sampler"] == "dpm"
+
+    import jax
+    from jax import export as jexport
+    exported = jexport.deserialize(art.read_bytes())
+    imgs = np.asarray(exported.call(jax.random.PRNGKey(1)))
+    assert imgs.shape == (2, 28, 28, 1)
+    assert np.isfinite(imgs).all()
+
+
+def test_export_unknown_sampler_fails_loudly(tmp_path):
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export.py"),
+         "experiment=vae/mnist_mlp", "--n", "2", "--sampler", "dpm",
+         "--platforms", "cpu", "--out", str(tmp_path / "x.jaxexport")],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode != 0
+    assert "has no dpm_sample" in out.stderr

@@ -5,6 +5,10 @@
     python tools/export.py experiment=vae/mnist_mlp --ckpt <dir> \
         --out sampler.jaxexport [--n 64] [--platforms cpu,tpu]
 
+    # diffusion serving with a fast sampler (20 evals, not 1000)
+    python tools/export.py experiment=ddpm/cifar10 --ckpt <dir> \
+        --sampler dpm --steps 20 --out ddpm.jaxexport
+
     # serve/run the artifact (no model code, no config needed)
     python tools/export.py --run sampler.jaxexport --seed 3 --out grid.png
 
@@ -46,7 +50,19 @@ def do_export(args) -> None:
               file=sys.stderr)
 
     n = args.n
-    fn = jax.jit(lambda rng: model.sample(state, rng, n))
+    if args.sampler == "default":
+        sample_fn = lambda rng: model.sample(state, rng, n)
+    else:
+        # fast-sampler serving (ddpm-family models): ddim / dpm, with the
+        # config's step count unless --steps overrides
+        method = getattr(model, f"{args.sampler}_sample", None)
+        if method is None:
+            raise SystemExit(f"--sampler {args.sampler}: "
+                             f"{type(model).__name__} has no "
+                             f"{args.sampler}_sample")
+        steps = args.steps or int(model.hparams[f"{args.sampler}_steps"])
+        sample_fn = lambda rng: method(state, rng, n, steps=steps)
+    fn = jax.jit(sample_fn)
     key = jax.random.PRNGKey(0)
     key_spec = jax.ShapeDtypeStruct(key.shape, key.dtype)
     platforms = [p for p in args.platforms.split(",") if p]
@@ -59,6 +75,7 @@ def do_export(args) -> None:
         "experiment": next((o.split("=", 1)[1] for o in args.overrides
                             if o.startswith("experiment=")), None),
         "n": n,
+        "sampler": args.sampler,
         "platforms": platforms,
         "out_shape": [list(s.shape) for s in jax.tree_util.tree_leaves(
             exported.out_avals)][:1] or None,
@@ -97,6 +114,12 @@ def main() -> None:
     parser.add_argument("overrides", nargs="*", help="config overrides")
     parser.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     parser.add_argument("--n", type=int, default=64, help="serving batch")
+    parser.add_argument("--sampler", default="default",
+                        choices=["default", "ddim", "dpm"],
+                        help="ddpm-family: export a fast sampler instead "
+                             "of the model's default (ancestral) one")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="fast-sampler step count (default: config)")
     parser.add_argument("--out", default="sampler.jaxexport")
     parser.add_argument("--platforms", default="cpu,tpu",
                         help="lowering targets (comma list)")
