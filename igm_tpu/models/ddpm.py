@@ -54,6 +54,7 @@ class DDPM(BaseModel):
                  compute_dtype: str = "auto", remat: bool = False,
                  ema_decay: float = 0.0, val_sampler: str = "ancestral",
                  ddim_steps: int = 50, dpm_steps: int = 20,
+                 dpm_schedule: str = "uniform",
                  pallas_gn: str | bool = "auto",
                  num_classes: int | None = 0, cond_drop_prob: float = 0.1,
                  guidance_scale: float = 2.0, network: str = "unet",
@@ -71,6 +72,7 @@ class DDPM(BaseModel):
                                   ema_decay=ema_decay,
                                   val_sampler=val_sampler,
                                   ddim_steps=ddim_steps, dpm_steps=dpm_steps,
+                                  dpm_schedule=dpm_schedule,
                                   num_classes=self.num_classes,
                                   cond_drop_prob=cond_drop_prob,
                                   guidance_scale=guidance_scale,
@@ -283,9 +285,43 @@ class DDPM(BaseModel):
                                  (seq[::-1], seq_prev[::-1]))
         return x
 
+    def _dpm_timesteps(self, steps: int, schedule: str,
+                       rho: float = 7.0) -> "np.ndarray":
+        """Static (trace-time) timestep subsequence for dpm_sample, as an
+        ascending int array.  ``uniform`` is even spacing in t;
+        ``logsnr`` is even spacing in half-log-SNR (lambda) — the spacing
+        the DPM-Solver paper recommends (Lu et al. 2022 §3.2); ``karras``
+        spaces sigma^(1/rho) evenly (Karras et al. 2022 §5) with sigma_max
+        clamped to 80 (the k-diffusion convention — the cosine table's own
+        sigma_max is ~1300, which would dump the whole budget into the
+        first prior-sampling region; at sigma 80 alpha is 1.6e-4 so
+        starting from N(0, I) there is exact to ~1e-2).  Targets map to
+        the nearest discrete t; duplicates (tiny step counts) are deduped,
+        so the returned length can be < steps."""
+        import numpy as np
+        if schedule == "uniform":
+            return np.linspace(0, self.timesteps - 1,
+                               steps).round().astype(np.int32)
+        acp = np.asarray(self.tables.alphas_cumprod, np.float64)
+        sig = np.sqrt((1.0 - acp) / acp)  # VP sigma(t), ascending in t
+        if schedule == "logsnr":
+            lam = 0.5 * np.log(acp / (1.0 - acp))
+            targets = np.linspace(lam[-1], lam[0], steps)
+            t = np.abs(lam[None, :] - targets[:, None]).argmin(axis=1)
+        elif schedule == "karras":
+            smin, smax = sig[0], min(float(sig[-1]), 80.0)
+            frac = np.linspace(0.0, 1.0, steps)
+            sk = (smax ** (1 / rho)
+                  + frac * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
+            t = np.abs(sig[None, :] - sk[:, None]).argmin(axis=1)
+        else:
+            raise ValueError(f"dpm schedule must be uniform|logsnr|karras, "
+                             f"got {schedule!r}")
+        return np.unique(t).astype(np.int32)
+
     def dpm_sample(self, state: TrainState, rng: jax.Array, n: int,
-                   steps: int = 20, y=None,
-                   guidance: float = 1.0) -> jnp.ndarray:
+                   steps: int = 20, y=None, guidance: float = 1.0,
+                   schedule: str | None = None) -> jnp.ndarray:
         """DPM-Solver++(2M) (Lu et al. 2022) — deterministic second-order
         multistep ODE sampler in half-log-SNR (lambda) space, beyond-parity
         fast inference: comparable sample quality to DDIM-50 in ~20 model
@@ -299,8 +335,9 @@ class DDPM(BaseModel):
         # noise for a given rng (the agreement test relies on this)
         init_rng, _ = jax.random.split(rng)
         x = jax.random.normal(init_rng, shape)
-        seq = jnp.linspace(0, self.timesteps - 1,
-                           steps).round().astype(jnp.int32)
+        if schedule is None:
+            schedule = str(self.hparams.dpm_schedule)
+        seq = jnp.asarray(self._dpm_timesteps(steps, schedule))
         t_cur = seq[::-1]
         t_next = jnp.concatenate([jnp.array([-1], jnp.int32), seq[:-1]])[::-1]
         acp = self.tables.alphas_cumprod

@@ -146,10 +146,10 @@ class LatentDDPM(DDPM):
         return self.decode(state, z)
 
     def dpm_sample(self, state: TrainState, rng: jax.Array, n: int,
-                   steps: int = 20, y=None,
-                   guidance: float = 1.0) -> jnp.ndarray:
+                   steps: int = 20, y=None, guidance: float = 1.0,
+                   schedule: str | None = None) -> jnp.ndarray:
         z = super().dpm_sample(state, rng, n, steps=steps, y=y,
-                               guidance=guidance)
+                               guidance=guidance, schedule=schedule)
         return self.decode(state, z)
 
     def inpaint(self, state, rng, x0, mask, resample: int = 1,

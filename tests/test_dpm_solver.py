@@ -124,3 +124,57 @@ def test_conditional_guided_dpm(ms):
                        y=jnp.array([0, 1, 2, 3], jnp.int32), guidance=2.0)
     assert out.shape == (4, 8, 8, 1)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_alt_timestep_schedule_properties(ms):
+    """logsnr/karras spacings: strictly increasing, start at t=0, and
+    allocate the step budget by noise level, not uniformly in t.  karras
+    clamps sigma_max to 80 so its top t sits BELOW the table end (the
+    cosine table's own sigma_max is ~1300); logsnr spans the full table."""
+    m, _ = ms
+    acp = np.asarray(m.tables.alphas_cumprod)
+    sig = np.sqrt((1 - acp) / acp)
+    t_log = m._dpm_timesteps(12, "logsnr")
+    assert t_log[0] == 0 and t_log[-1] == m.timesteps - 1
+    assert (np.diff(t_log) > 0).all()
+    t_kar = m._dpm_timesteps(12, "karras")
+    assert t_kar[0] == 0 and (np.diff(t_kar) > 0).all()
+    assert sig[t_kar[-1]] <= 80.0 * 1.5  # clamped top sigma
+    # karras places >= half the budget below sigma=2 (low-noise density)
+    assert (sig[t_kar] < 2.0).sum() >= len(t_kar) // 2
+
+
+def test_alt_schedules_oracle_exact(ms):
+    """The constant-x0 oracle telescopes exactly under ANY spacing — this
+    pins the solver algebra independently of schedule choice.  (karras
+    starts below the table end; since the oracle is exact everywhere the
+    endpoint is still hit exactly.)"""
+    m, state = ms
+    acp = m.tables.alphas_cumprod
+    c = 0.37
+
+    def oracle_c(state, x, t, y=None, guidance=1.0):
+        a = acp[t.astype(jnp.int32)].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(a) * c) / jnp.sqrt(1.0 - a)
+
+    orig = m._eps
+    m._eps = oracle_c
+    try:
+        for schedule in ("logsnr", "karras"):
+            out = m.dpm_sample(state, jax.random.PRNGKey(3), 2, steps=6,
+                               schedule=schedule)
+            np.testing.assert_allclose(np.asarray(out), c, rtol=0, atol=1e-5,
+                                       err_msg=schedule)
+    finally:
+        m._eps = orig
+
+
+def test_dpm_schedule_hparam_dispatch():
+    m = _model(dpm_schedule="karras")
+    state = jax.jit(m.init_state)(jax.random.PRNGKey(0))
+    out = m.dpm_sample(state, jax.random.PRNGKey(7), 2, steps=5)
+    assert out.shape == (2, 8, 8, 1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        m._dpm_timesteps(5, "banana")
