@@ -76,6 +76,13 @@ class Trainer:
         mesh_cfg = mesh or {}
         data_axis = mesh_cfg.get("data", -1) if isinstance(mesh_cfg, dict) else -1
         model_axis = mesh_cfg.get("model", 1) if isinstance(mesh_cfg, dict) else 1
+        # model-axis sharding strategy: "fsdp" (ZeRO-3 state sharding) or
+        # "tensor" (Megatron column/row specs on transformer blocks)
+        self.mesh_mode = (mesh_cfg.get("mode", "fsdp")
+                          if isinstance(mesh_cfg, dict) else "fsdp")
+        if self.mesh_mode not in ("fsdp", "tensor"):
+            raise ValueError(f"mesh.mode must be fsdp|tensor, "
+                             f"got {self.mesh_mode!r}")
         if (devices not in (None, -1) and int(devices) > 0
                 and data_axis in (-1, None) and int(model_axis or 1) == 1):
             # Lightning `devices: 1` semantics: cap the mesh size.
@@ -135,7 +142,7 @@ class Trainer:
         # jit the init: eager init dispatches hundreds of tiny ops, which is
         # pathological over a remote-device link (axon tunnel)
         state = jax.jit(model.init_state)(init_rng)
-        state = mesh_lib.shard_state(self.mesh, state)
+        state = mesh_lib.shard_state(self.mesh, state, mode=self.mesh_mode)
 
         if self.enable_checkpointing:
             from .checkpoint import CheckpointManager
@@ -145,7 +152,8 @@ class Trainer:
             if self.resume and self.ckpt_manager.latest_step() is not None:
                 state = self.ckpt_manager.restore(state)
                 state = model.on_restore(state)  # param-invariant migrations
-                state = mesh_lib.shard_state(self.mesh, state)
+                state = mesh_lib.shard_state(self.mesh, state,
+                                             mode=self.mesh_mode)
                 log.info("resumed from step %s", int(state.step))
 
         # steps_per_execution > 1: K train steps per device dispatch via

@@ -96,11 +96,14 @@ class DiTBlock(nn.Module):
         # --- attention branch (one fused qkv GEMM; f32 softmax) ---
         a = _layernorm_f32(x) * (1.0 + g_a) + s_a
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(a)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        b, n, _ = q.shape
-        q = q.reshape(b, n, h, hd)
-        k = k.reshape(b, n, h, hd)
-        v = v.reshape(b, n, h, hd)
+        # head-grouped feature packing (h, 3, hd): each head's q/k/v is one
+        # contiguous 3*hd block of the output axis, so a tensor-parallel
+        # shard of the qkv kernel's output features holds WHOLE heads
+        # (parallel/mesh.py tp specs) — no cross-shard split traffic.
+        # Single-chip it is the same one GEMM + free reshape.
+        b, n, _ = qkv.shape
+        qkv = qkv.reshape(b, n, h, 3, hd)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(logits * (1.0 / math.sqrt(hd)), axis=-1)

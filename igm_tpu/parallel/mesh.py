@@ -100,36 +100,106 @@ def _fsdp_spec(mesh: Mesh, x) -> P:
     return P(*spec)
 
 
-def shard_state(mesh: Mesh, tree: Any) -> Any:
+# --- Tensor parallelism (Megatron-style) for transformer backbones --------
+# Column-parallel matrices (fused qkv, MLP-up) shard their OUTPUT features
+# over ``model``; row-parallel matrices (attention out-proj, MLP-down) shard
+# their INPUT features.  With only these parameter specs, GSPMD propagates
+# head-sharded activations through the whole block and inserts exactly the
+# two all-reduces per block the Megatron pattern calls for (one after proj,
+# one after MLP-down) — no hand-written collectives, no network changes.
+# Unlike FSDP (a memory layout: params gathered before use), TP keeps the
+# per-block GEMMs and the attention itself sharded, splitting the COMPUTE.
+# Relies on dit.py's head-grouped qkv packing so shards hold whole heads.
+_TP_COLUMN = ("qkv", "Dense_0")   # out-features over `model` (qkv, MLP-up)
+_TP_ROW = ("proj", "Dense_1")     # in-features over `model` (o-proj, MLP-down)
+
+
+def _path_names(path) -> list:
+    names = []
+    for k in path:
+        if hasattr(k, "key"):
+            names.append(str(k.key))
+        elif hasattr(k, "name"):
+            names.append(str(k.name))
+        elif hasattr(k, "idx"):
+            names.append(str(k.idx))
+        else:
+            names.append(str(k))
+    return names
+
+
+def _tp_spec(mesh: Mesh, path, x) -> Optional[P]:
+    """Megatron PartitionSpec for a DiT-block param leaf; None if no TP rule
+    applies (caller falls back to FSDP).  Matches by module-path names, which
+    traverse optimizer-moment trees identically to the param tree."""
+    names = _path_names(path)
+    if not any(n.startswith("DiTBlock") for n in names):
+        return None
+    if len(names) < 2:
+        return None
+    m = mesh.shape[MODEL_AXIS]
+    shape = getattr(x, "shape", ())
+    leaf, parent = names[-1], names[-2]
+    col, row = parent in _TP_COLUMN, parent in _TP_ROW
+    if not (col or row):
+        return None
+    if leaf == "kernel" and len(shape) == 2:
+        dim = 1 if col else 0
+        if shape[dim] % m:
+            return None
+        spec = [None, None]
+        spec[dim] = MODEL_AXIS
+        return P(*spec)
+    if leaf == "bias" and len(shape) == 1:
+        if col and shape[0] % m == 0:
+            return P(MODEL_AXIS)
+        # row-parallel bias: added once, after the all-reduce -> replicated
+        return P()
+    return None
+
+
+def _spec_for(mesh: Mesh, path, x, mode: str) -> P:
+    if mode == "tensor":
+        spec = _tp_spec(mesh, path, x)
+        if spec is not None:
+            return spec
+    return _fsdp_spec(mesh, x)
+
+
+def shard_state(mesh: Mesh, tree: Any, mode: str = "fsdp") -> Any:
     """Place a TrainState on the mesh: replicated on a 1-D data mesh;
-    FSDP-sharded (params + optimizer moments alike) when the mesh has a
-    ``model`` axis of size > 1.  GSPMD then emits the forward all-gathers
-    and gradient reduce-scatters — no hand-written collectives."""
+    sharded over ``model`` when the mesh is 2-D.  ``mode="fsdp"`` (default)
+    shards each leaf's largest divisible axis (a memory layout — ZeRO-3);
+    ``mode="tensor"`` applies Megatron column/row specs to transformer-block
+    matrices (splitting the block compute itself) and falls back to FSDP
+    specs elsewhere.  GSPMD emits every collective either way."""
     if MODEL_AXIS not in mesh.axis_names or mesh.shape[MODEL_AXIS] == 1:
         return replicate(mesh, tree)
-    def _put(x):
-        return jax.device_put(x, NamedSharding(mesh, _fsdp_spec(mesh, x)))
-    return jax.tree_util.tree_map(_put, tree)
+    def _put(path, x):
+        return jax.device_put(
+            x, NamedSharding(mesh, _spec_for(mesh, path, x, mode)))
+    return jax.tree_util.tree_map_with_path(_put, tree)
 
 
-def state_shardings(mesh: Mesh, shape_tree: Any) -> Any:
+def state_shardings(mesh: Mesh, shape_tree: Any, mode: str = "fsdp") -> Any:
     """NamedSharding tree for a TrainState shape tree: replicated on a 1-D
-    mesh, FSDP specs on a 2-D mesh.  Use as ``jit(..., out_shardings=...)``
+    mesh, FSDP/TP specs on a 2-D mesh.  Use as ``jit(..., out_shardings=...)``
     so the state is BORN sharded — required in multi-process runs, where a
     post-hoc cross-host ``device_put`` reshard is not a supported path."""
     if MODEL_AXIS not in mesh.axis_names or mesh.shape[MODEL_AXIS] == 1:
         rep = replicated(mesh)
         return jax.tree_util.tree_map(lambda _: rep, shape_tree)
-    return jax.tree_util.tree_map(
-        lambda x: NamedSharding(mesh, _fsdp_spec(mesh, x)), shape_tree)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, _spec_for(mesh, path, x, mode)),
+        shape_tree)
 
 
-def init_state_sharded(model, mesh: Mesh, rng) -> Any:
+def init_state_sharded(model, mesh: Mesh, rng, mode: str = "fsdp") -> Any:
     """Jit the model's init with explicit output shardings (GSPMD writes
     each shard on its owner device; no cross-host transfer ever exists)."""
     shapes = jax.eval_shape(model.init_state, rng)
     return jax.jit(model.init_state,
-                   out_shardings=state_shardings(mesh, shapes))(rng)
+                   out_shardings=state_shardings(mesh, shapes, mode))(rng)
 
 
 def pad_to_multiple(n: int, k: int) -> int:

@@ -47,3 +47,18 @@ def test_two_process_fsdp_2d_mesh():
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["ok"] is True and out["model_axis"] == 2
     assert out["losses"][0] == out["losses"][1]
+
+
+def test_two_process_tensor_parallel_dit():
+    """Megatron TP across 2 processes: the DiT block matrices are
+    column/row-sharded over a `model` axis that SPANS the process boundary,
+    so GSPMD's per-block all-reduces ride the cross-process transport."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "multihost_dryrun.py"),
+         "--procs", "2", "--local-devices", "2", "--model-axis", "2",
+         "--mesh-mode", "tensor"],
+        capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (proc.stdout[-500:], proc.stderr[-1000:])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ok"] is True and out["mesh_mode"] == "tensor"
+    assert out["losses"][0] == out["losses"][1]

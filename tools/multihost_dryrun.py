@@ -49,12 +49,25 @@ def child(args) -> None:
     from igm_tpu.parallel import mesh as mesh_lib
 
     # spans ALL processes' devices; --model-axis > 1 builds a 2-D
-    # (data, model) mesh whose FSDP shards cross the PROCESS boundary
+    # (data, model) mesh whose FSDP/TP shards cross the PROCESS boundary
     mesh = mesh_lib.make_mesh(model=args.model_axis)
-    model = _make_ddpm(hidden_dim=8, timesteps=4, batch=2 * n_global, image=16)
+    if args.mesh_mode == "tensor":
+        # Megatron TP needs a transformer backbone: tiny DiT-DDPM
+        from igm_tpu.config import to_node
+        from igm_tpu.models.ddpm import DDPM
+        dm_cfg = to_node({"width": 16, "height": 16, "channels": 3,
+                          "transforms": {"convert": True, "normalize": True}})
+        model = DDPM(datamodule=dm_cfg, hidden_dim=32, timesteps=4,
+                     network="dit", depth=2, heads=2, patch=4,
+                     loss_type="l2", compute_dtype="float32")
+        model.steps_per_epoch = 100
+    else:
+        model = _make_ddpm(hidden_dim=8, timesteps=4, batch=2 * n_global,
+                           image=16)
     # init with explicit out_shardings: in multi-process runs the state must
     # be BORN sharded (a post-hoc cross-host device_put reshard hangs)
-    state = mesh_lib.init_state_sharded(model, mesh, jax.random.PRNGKey(0))
+    state = mesh_lib.init_state_sharded(model, mesh, jax.random.PRNGKey(0),
+                                        mode=args.mesh_mode)
     if args.model_axis > 1:
         # non-vacuousness: at least one param leaf must actually be sharded
         # over the model axis (mirrors __graft_entry__.dryrun_multichip)
@@ -62,7 +75,11 @@ def child(args) -> None:
                  for x in jax.tree_util.tree_leaves(state.params)
                  if hasattr(x, "sharding")]
         assert any(mesh_lib.MODEL_AXIS in tuple(s) for s in specs), (
-            "FSDP sharding vacuous: no param sharded over the model axis")
+            "model-axis sharding vacuous: no param sharded over it")
+        if args.mesh_mode == "tensor":
+            qkv = state.params["denoise"]["DiTBlock_0"]["qkv"]["kernel"]
+            assert mesh_lib.MODEL_AXIS in tuple(qkv.sharding.spec), (
+                "TP vacuous: qkv kernel not sharded over the model axis")
 
     step = jax.jit(model.train_step, donate_argnums=0)
     # every process supplies the same GLOBAL batch; device_put scatters the
@@ -85,6 +102,8 @@ def main() -> None:
     ap.add_argument("--local-devices", type=int, default=2)
     ap.add_argument("--model-axis", type=int, default=1,
                     help=">1: 2-D (data, model) mesh — FSDP shards cross the process boundary")
+    ap.add_argument("--mesh-mode", default="fsdp", choices=["fsdp", "tensor"],
+                    help="model-axis strategy: ZeRO-3 state sharding or Megatron TP (DiT backbone)")
     ap.add_argument("--process-id", type=int, default=None)  # child marker
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--timeout", type=int, default=900)
@@ -105,7 +124,8 @@ def main() -> None:
         [sys.executable, __file__, "--procs", str(args.procs),
          "--local-devices", str(args.local_devices),
          "--process-id", str(i), "--coordinator", coord,
-         "--model-axis", str(args.model_axis)],
+         "--model-axis", str(args.model_axis),
+         "--mesh-mode", args.mesh_mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(args.procs)]
 
@@ -123,7 +143,8 @@ def main() -> None:
     print(json.dumps({"ok": ok, "losses": losses, "errors": errs,
                       "procs": args.procs,
                       "local_devices": args.local_devices,
-                      "model_axis": args.model_axis}))
+                      "model_axis": args.model_axis,
+                      "mesh_mode": args.mesh_mode}))
     sys.exit(0 if ok else 1)
 
 
