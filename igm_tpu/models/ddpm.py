@@ -58,8 +58,22 @@ class DDPM(BaseModel):
                  pallas_gn: str | bool = "auto",
                  num_classes: int | None = 0, cond_drop_prob: float = 0.1,
                  guidance_scale: float = 2.0, network: str = "unet",
-                 depth: int = 8, heads: int = 6, patch: int = 2, **kwargs):
+                 depth: int = 8, heads: int = 6, patch: int = 2,
+                 parameterization: str = "eps", snr_gamma: float = 0.0,
+                 **kwargs):
         super().__init__(datamodule)
+        # beyond-parity training knobs (defaults reproduce the reference's
+        # eps-prediction / unweighted loss exactly):
+        # - parameterization="v" trains v = sqrt(ac)*eps - sqrt(1-ac)*x0
+        #   (Salimans & Ho 2022) — better-conditioned target at high t,
+        #   standard for cosine-schedule + fast-sampler pipelines; every
+        #   sampler keeps consuming eps via the exact conversion in _eps.
+        # - snr_gamma>0 enables Min-SNR-gamma loss weighting (Hang et al.
+        #   2023, gamma=5 typical): caps the per-timestep SNR weight so
+        #   low-noise steps stop dominating the gradient.
+        if parameterization not in ("eps", "v"):
+            raise ValueError(f"parameterization must be eps|v, "
+                             f"got {parameterization!r}")
         # class-conditional DDPM + classifier-free guidance (beyond parity;
         # the reference DDPM is unconditional).  num_classes=0 keeps the
         # exact unconditional param tree / behavior.
@@ -77,7 +91,9 @@ class DDPM(BaseModel):
                                   cond_drop_prob=cond_drop_prob,
                                   guidance_scale=guidance_scale,
                                   network=network, depth=depth, heads=heads,
-                                  patch=patch)
+                                  patch=patch,
+                                  parameterization=parameterization,
+                                  snr_gamma=snr_gamma)
         self.timesteps = int(timesteps)
         self.tables = gd.make_tables(self.timesteps, beta_schedule)
         # bfloat16 convs on TPU (MXU fast path; params + loss stay f32);
@@ -152,13 +168,24 @@ class DDPM(BaseModel):
         else:
             y = ()
 
+        if self.hparams.parameterization == "v":
+            target = gd.v_target(self.tables, imgs, t, noise)
+        else:
+            target = noise
+        # min-SNR-gamma weight; ones (a broadcast no-op XLA folds away)
+        # when snr_gamma <= 0, so the default loss is bit-identical to the
+        # unweighted reference form
+        w = gd.loss_weight(self.tables, t, imgs.ndim,
+                           str(self.hparams.parameterization),
+                           float(self.hparams.snr_gamma))
+
         def loss_fn(params):
             pred, mut = self.modules.apply("denoise", params, state.mutables,
                                            x_noisy, t, *y)
             if self.hparams.loss_type == "l1":
-                loss = jnp.abs(noise - pred).mean()
+                loss = (w * jnp.abs(target - pred)).mean()
             elif self.hparams.loss_type == "l2":
-                loss = jnp.mean((noise - pred) ** 2)
+                loss = (w * (target - pred) ** 2).mean()
             else:
                 raise NotImplementedError(self.hparams.loss_type)
             return loss, {"metrics": {"train_loss/loss": loss},
@@ -192,15 +219,25 @@ class DDPM(BaseModel):
         ``eps = eps_null + s * (eps_y - eps_null)`` — s=1 is the plain
         conditional prediction (one forward), s=0 unconditional.  The two
         CFG branches run as ONE doubled batch (a single MXU-friendly
-        dispatch inside the sampling scan, not two half-size ones)."""
+        dispatch inside the sampling scan, not two half-size ones).
+
+        A v-predicting network (parameterization="v") is adapted HERE, the
+        single choke point every sampler goes through: eps = sqrt(1-ac)*x
+        + sqrt(ac)*v (exact; linear, so CFG combines identically in either
+        space)."""
         if self.num_classes == 0 or y is None or guidance == 1.0:
-            return self._denoise(state, x, t, y)
-        null = jnp.full_like(y, self.num_classes)
-        eps2 = self._denoise(state, jnp.concatenate([x, x]),
-                             jnp.concatenate([t, t]),
-                             jnp.concatenate([y, null]))
-        eps_y, eps_null = jnp.split(eps2, 2)
-        return eps_null + guidance * (eps_y - eps_null)
+            out = self._denoise(state, x, t, y)
+        else:
+            null = jnp.full_like(y, self.num_classes)
+            out2 = self._denoise(state, jnp.concatenate([x, x]),
+                                 jnp.concatenate([t, t]),
+                                 jnp.concatenate([y, null]))
+            out_y, out_null = jnp.split(out2, 2)
+            out = out_null + guidance * (out_y - out_null)
+        if self.hparams.parameterization == "v":
+            # t arrives as exact integers in f32 (network convention)
+            out = gd.eps_from_v(self.tables, x, t.astype(jnp.int32), out)
+        return out
 
     def p_sample(self, state, x, t, rng, clip_denoised: bool = True,
                  y=None, guidance: float = 1.0):

@@ -96,14 +96,18 @@ class DiTBlock(nn.Module):
         # --- attention branch (one fused qkv GEMM; f32 softmax) ---
         a = _layernorm_f32(x) * (1.0 + g_a) + s_a
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(a)
-        # head-grouped feature packing (h, 3, hd): each head's q/k/v is one
+        # head-grouped feature packing (h, 3*hd): each head's q/k/v is one
         # contiguous 3*hd block of the output axis, so a tensor-parallel
         # shard of the qkv kernel's output features holds WHOLE heads
         # (parallel/mesh.py tp specs) — no cross-shard split traffic.
-        # Single-chip it is the same one GEMM + free reshape.
+        # Single-chip it is the same one GEMM + free reshape.  Stays rank-4:
+        # a rank-5 (b,n,h,3,hd) view here measurably forces layout copies
+        # (same trap as the round-3 linear-attention finding, NOTES.md).
         b, n, _ = qkv.shape
-        qkv = qkv.reshape(b, n, h, 3, hd)
-        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+        qkv = qkv.reshape(b, n, h, 3 * hd)
+        q = qkv[..., :hd]
+        k = qkv[..., hd:2 * hd]
+        v = qkv[..., 2 * hd:]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(logits * (1.0 / math.sqrt(hd)), axis=-1)

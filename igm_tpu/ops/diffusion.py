@@ -95,3 +95,45 @@ def q_posterior(tables: DiffusionTables, x_start, x_t, t):
     var = extract(tables.posterior_variance, t, x_t.ndim)
     log_var = extract(tables.posterior_log_variance_clipped, t, x_t.ndim)
     return mean, var, log_var
+
+
+# --- v-parameterization + SNR helpers (beyond parity; Salimans & Ho 2022,
+# "Progressive Distillation", eq. 11-13; Hang et al. 2023 "Min-SNR") --------
+# v := sqrt(ac_t) * eps - sqrt(1-ac_t) * x0.  Every sampler in the framework
+# consumes eps, so a v-predicting network is adapted at ONE choke point
+# (models/ddpm.py::_eps) via eps = sqrt(1-ac_t) * x_t + sqrt(ac_t) * v —
+# pure elementwise table math that fuses into the denoiser dispatch.
+
+def v_target(tables: DiffusionTables, x_start, t, noise):
+    """Training target for parameterization="v"."""
+    return (extract(tables.sqrt_alphas_cumprod, t, x_start.ndim) * noise
+            - extract(tables.sqrt_one_minus_alphas_cumprod, t, x_start.ndim)
+            * x_start)
+
+
+def eps_from_v(tables: DiffusionTables, x_t, t, v):
+    """Convert a v prediction to an eps prediction (exact identity)."""
+    return (extract(tables.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * x_t
+            + extract(tables.sqrt_alphas_cumprod, t, x_t.ndim) * v)
+
+
+def snr(tables: DiffusionTables, t, ndim: int):
+    """Signal-to-noise ratio ac_t / (1 - ac_t), broadcast to rank ndim."""
+    ac = extract(tables.alphas_cumprod, t, ndim)
+    return ac / (1.0 - ac)
+
+
+def loss_weight(tables: DiffusionTables, t, ndim: int, parameterization: str,
+                snr_gamma: float):
+    """Min-SNR-gamma per-timestep loss weight (Hang et al. 2023).
+
+    eps-prediction: min(SNR, gamma) / SNR; v-prediction: min(SNR, gamma)
+    / (SNR + 1) — the v-loss already carries an implicit (SNR+1) factor
+    relative to the x0 loss.  ``snr_gamma <= 0`` disables (weight 1)."""
+    if snr_gamma <= 0:
+        return jnp.ones((1,) * ndim, jnp.float32)
+    s = snr(tables, t, ndim)
+    capped = jnp.minimum(s, snr_gamma)
+    if parameterization == "v":
+        return capped / (s + 1.0)
+    return capped / s

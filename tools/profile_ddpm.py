@@ -46,16 +46,22 @@ def build_step(family: str, batch: int):
 
     from igm_tpu.parallel import mesh as mesh_lib
 
-    if family == "ddpm":
+    if family in ("ddpm", "dit"):
         from igm_tpu.config import to_node
         from igm_tpu.models.ddpm import DDPM
         dm_cfg = to_node({
             "width": 32, "height": 32, "channels": 3,
             "transforms": {"convert": True, "normalize": True},
         })
-        model = DDPM(datamodule=dm_cfg, hidden_dim=64, timesteps=1000,
-                     dim_mults=[1, 2, 4], loss_type="l1", lr=1e-4,
-                     b1=0.9, b2=0.999)
+        if family == "dit":
+            # the DiT MFU flagship (benchmarks/bench_dit.py dit_768x12 row)
+            model = DDPM(datamodule=dm_cfg, hidden_dim=768, timesteps=1000,
+                         network="dit", depth=12, heads=12, patch=2,
+                         loss_type="l1", lr=1e-4, b1=0.9, b2=0.999)
+        else:
+            model = DDPM(datamodule=dm_cfg, hidden_dim=64, timesteps=1000,
+                         dim_mults=[1, 2, 4], loss_type="l1", lr=1e-4,
+                         b1=0.9, b2=0.999)
         shape = (batch, 32, 32, 3)
     else:
         sys.path.insert(0, str(REPO_ROOT / "benchmarks"))
