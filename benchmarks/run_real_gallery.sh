@@ -59,5 +59,8 @@ run_one realnvp_mnist    realnvp/mnist    $((25*S)) trainer.check_val_every_n_ep
 # DiT backbone + DPM-Solver validation sampling in one run (round 3)
 run_one ddpm_cifar_dit   ddpm/cifar10_dit $((30*S)) \
     trainer.check_val_every_n_epoch=5 +model.val_sampler=dpm
+# modern recipe: v-prediction + min-SNR + EMA + DPM val sampler (round 3c)
+run_one ddpm_cifar_dit_v ddpm/cifar10_dit_v $((30*S)) \
+    trainer.check_val_every_n_epoch=5
 
 echo "[$(date +%H:%M:%S)] gallery complete"

@@ -25,7 +25,7 @@ from .base import BaseModel
 def build_denoiser(network: str, *, hidden_dim: int, channels: int,
                    dim_mults, dtype, num_classes: int, remat: bool,
                    pallas_gn: bool = False, depth: int = 8, heads: int = 6,
-                   patch: int = 2):
+                   patch: int = 2, attention: str = "auto"):
     """Backbone factory shared by the diffusion-style models.
 
     ``network="unet"`` is the parity conv UNet
@@ -41,7 +41,7 @@ def build_denoiser(network: str, *, hidden_dim: int, channels: int,
     if network == "dit":
         return DiT(dim=hidden_dim, depth=depth, heads=heads, patch=patch,
                    channels=channels, num_classes=num_classes, dtype=dtype,
-                   remat=remat)
+                   remat=remat, attn=attention)
     raise ValueError(f"network must be unet|dit, got {network!r}")
 
 
@@ -60,7 +60,7 @@ class DDPM(BaseModel):
                  guidance_scale: float = 2.0, network: str = "unet",
                  depth: int = 8, heads: int = 6, patch: int = 2,
                  parameterization: str = "eps", snr_gamma: float = 0.0,
-                 **kwargs):
+                 attention: str = "auto", **kwargs):
         super().__init__(datamodule)
         # beyond-parity training knobs (defaults reproduce the reference's
         # eps-prediction / unweighted loss exactly):
@@ -93,7 +93,7 @@ class DDPM(BaseModel):
                                   network=network, depth=depth, heads=heads,
                                   patch=patch,
                                   parameterization=parameterization,
-                                  snr_gamma=snr_gamma)
+                                  snr_gamma=snr_gamma, attention=attention)
         self.timesteps = int(timesteps)
         self.tables = gd.make_tables(self.timesteps, beta_schedule)
         # bfloat16 convs on TPU (MXU fast path; params + loss stay f32);
@@ -115,7 +115,8 @@ class DDPM(BaseModel):
                                    num_classes=self.num_classes,
                                    remat=bool(remat),
                                    pallas_gn=bool(pallas_gn), depth=depth,
-                                   heads=heads, patch=patch))
+                                   heads=heads, patch=patch,
+                                   attention=attention))
 
     # hooks overridden by LatentDDPM (diffusion in a learned latent space)
     @property

@@ -85,6 +85,16 @@ class DiTBlock(nn.Module):
     heads: int
     mlp_ratio: int = 4
     dtype: Any = None
+    # "xla": einsum softmax attention (logits/probs materialised to HBM);
+    # "flash": Pallas blockwise online-softmax kernel (probs never leave
+    # VMEM).  MEASURED at 768x12/b256 (benchmarks/bench_dit_attn.py,
+    # dit_attn_ab round 3): flash 728 ms/step vs XLA 423 — the kernel's
+    # (B*H=3072)-cell grid of 128x128x64 block matmuls half-fills the MXU
+    # and loses far more than the probs HBM round-trip costs (attention
+    # core is ~33% of the XLA step; benchmarks/profiles/dit_trace.json).
+    # 9th kernel-vs-XLA decision: XLA stays the default; flash remains the
+    # right tool only when token counts grow into the memory-bound regime.
+    attn: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -108,11 +118,23 @@ class DiTBlock(nn.Module):
         q = qkv[..., :hd]
         k = qkv[..., hd:2 * hd]
         v = qkv[..., 2 * hd:]
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * (1.0 / math.sqrt(hd)), axis=-1)
-        o = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
-                       preferred_element_type=jnp.float32)
+        if self.attn == "flash":
+            from ..ops.causal_attention import flash_full_attention
+            o = flash_full_attention(q, k, v, sm_scale=1.0 / math.sqrt(hd))
+        else:
+            def core(q, k, v):
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                    preferred_element_type=jnp.float32)
+                probs = jax.nn.softmax(logits * (1.0 / math.sqrt(hd)),
+                                       axis=-1)
+                return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype),
+                                  v, preferred_element_type=jnp.float32)
+            if self.attn == "remat":
+                # recompute logits/probs in the backward instead of
+                # stashing the (B,H,S,S) f32 tensor to HBM — the flash
+                # memory win at XLA's full-batch GEMM speed
+                core = jax.checkpoint(core)
+            o = core(q, k, v)
         o = nn.Dense(d, dtype=self.dtype, name="proj")(
             o.astype(self.dtype or jnp.float32).reshape(b, n, d))
         x = x + gate_a * o
@@ -141,6 +163,11 @@ class DiT(nn.Module):
     num_classes: int = 0
     dtype: Any = None        # compute dtype (bfloat16 on TPU)
     remat: bool = False      # jax.checkpoint each block
+    # attention path: "auto" == "xla" (measured winner at every DiT shape
+    # tried — see DiTBlock.attn); "flash" opts into the Pallas kernel
+    # (needs token count % 128 == 0; incompatible with Megatron TP — GSPMD
+    # cannot partition a pallas_call over the sharded head axis).
+    attn: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: jnp.ndarray,
@@ -170,10 +197,14 @@ class DiT(nn.Module):
                            param_dtype=jnp.float32)
             c = c + emb(y.astype(jnp.int32)).astype(c.dtype)
 
+        attn = "xla" if self.attn == "auto" else self.attn
+        if attn == "flash" and (gh * gw) % 128:
+            raise ValueError(f"attn=flash needs token count % 128 == 0, "
+                             f"got {gh * gw}")
         Block = nn.remat(DiTBlock) if self.remat else DiTBlock
         for _ in range(self.depth):
             tok = Block(self.dim, self.heads, self.mlp_ratio,
-                        dtype=self.dtype)(tok, c)
+                        dtype=self.dtype, attn=attn)(tok, c)
 
         # zero-init output head: exact 0 prediction at init
         s_f, g_f = _Modulation(self.dim, 2, dtype=self.dtype)(c)

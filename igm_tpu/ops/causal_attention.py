@@ -31,7 +31,7 @@ _BLOCK = 128
 
 
 @functools.lru_cache(maxsize=None)
-def _flash_fn(seq_pad: int):
+def _flash_fn(seq_pad: int, causal: bool = True):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, flash_attention)
     b = min(_BLOCK, seq_pad)
@@ -39,7 +39,7 @@ def _flash_fn(seq_pad: int):
         block_q=b, block_k_major=b, block_k=b, block_b=1,
         block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
         block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
-    return functools.partial(flash_attention, causal=True,
+    return functools.partial(flash_attention, causal=causal,
                              block_sizes=sizes)
 
 
@@ -62,6 +62,31 @@ def flash_causal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
     out = _flash_fn(s_pad)(qt, kt, vt, sm_scale=sm_scale)
     return out[:, :, :s, :].swapaxes(1, 2)
+
+
+def flash_full_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         sm_scale: Optional[float] = None) -> jnp.ndarray:
+    """Bidirectional (non-causal) flash attention for the DiT backbone.
+
+    q, k, v: (batch, seq, heads, head_dim) -> same.  The (B, H, S, S)
+    logits/probs tensors never touch HBM — at DiT-768x12's shapes
+    (B=256, H=12, S=256) the XLA path materialises an 805 MB f32 logits
+    tensor + 403 MB bf16 probs per block and the trace shows attention at
+    ~52% of step time for ~5% of FLOPs (benchmarks/profiles/dit_trace.json).
+
+    Unlike the causal wrapper, padding is NOT harmless here (every key is
+    reachable), so the sequence length must be divisible by the 128-lane
+    block; callers gate on that (DiT at patch 2 / 32px gives S=256)."""
+    n, s, h, d = q.shape
+    if s % _BLOCK:
+        raise ValueError(
+            f"flash_full_attention needs seq % {_BLOCK} == 0, got {s} "
+            "(padded keys would receive softmax mass)")
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    qt, kt, vt = (x.swapaxes(1, 2) for x in (q, k, v))  # BSHD -> BHSD
+    out = _flash_fn(s, causal=False)(qt, kt, vt, sm_scale=sm_scale)
+    return out.swapaxes(1, 2)
 
 
 def flash_attention_fn(query, key, value, bias=None, mask=None,
