@@ -132,3 +132,38 @@ def test_flow_matching_dit_smoke():
     assert np.isfinite(float(metrics["train_loss/loss"]))
     out = m.sample(state, jax.random.PRNGKey(1), 2)
     assert out.shape == (2, 8, 8, 1) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_attention_remat_arm_is_exact():
+    """attn="remat" (jax.checkpoint'd attention core) must match the XLA
+    arm bitwise in the forward AND produce identical gradients — it is a
+    memory schedule, not a math change (measured 0.97x on-chip, kept as a
+    knob; docs/MFU.md DiT wall)."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 1)),
+                    jnp.float32)
+    t = jnp.asarray([3.0, 7.0])
+    m_x = _dit(attn="xla")
+    m_r = _dit(attn="remat")
+    params = m_x.init(jax.random.PRNGKey(1), x, t)
+    # perturb: adaLN-Zero output is exactly 0 at init (vacuous otherwise)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * np.float32(1.0), params)
+
+    def loss(mod, p):
+        return jnp.sum(mod.apply(p, x, t) ** 2)
+
+    l_x, g_x = jax.value_and_grad(lambda p: loss(m_x, p))(params)
+    l_r, g_r = jax.value_and_grad(lambda p: loss(m_r, p))(params)
+    assert float(l_x) == float(l_r)
+    for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attention_flash_requires_block_divisible_tokens():
+    """attn="flash" needs token_count % 128 == 0 (padded keys would get
+    softmax mass); a 4x4 grid must fail loudly at trace time."""
+    m = _dit(attn="flash")
+    x = jnp.zeros((2, 8, 8, 1))
+    with pytest.raises(ValueError, match="128"):
+        m.init(jax.random.PRNGKey(0), x, jnp.zeros((2,)))
