@@ -56,6 +56,7 @@ SMOKE_EXPERIMENTS = [
     "latent_ddpm/mnist",  # latent diffusion over a VQ-VAE (beyond parity)
     "flow/cond_mnist",   # flow matching + CFG (beyond parity)
     "realnvp/mnist",     # exact-likelihood flow (beyond parity)
+    "edm/mnist",         # sigma-space EDM + Heun sampler (beyond parity)
 ]
 
 
@@ -77,7 +78,7 @@ def test_smoke(config_dir, tmp_path, experiment):
         # tiny UNet + short chain so the scan sampler stays fast on CPU
         extra = ["model.hidden_dim=16", "model.timesteps=8",
                  "datamodule.batch_size=8", "+model.sample_batch=8"]
-    if experiment.startswith("flow"):
+    if experiment.startswith(("flow", "edm")):
         extra = ["model.hidden_dim=16", "model.sample_steps=3",
                  "datamodule.batch_size=8", "+model.sample_batch=8"]
     if experiment.startswith("realnvp"):
