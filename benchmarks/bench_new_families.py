@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Train-step throughput for the round-3 beyond-parity families:
-class-conditional DDPM (+CFG label dropout) and latent diffusion.
+class-conditional DDPM (+CFG label dropout), latent diffusion, flow
+matching, RealNVP, and EDM (UNet + DiT backbones).
 
 The latent model runs with a random frozen first stage — identical FLOPs
 to a trained one, so the throughput row is exact.  Same hard-fence
@@ -25,12 +26,15 @@ CASES = [
     ("latent_ddpm", "latent_ddpm/cifar10", 256, []),
     ("flow_matching", "flow/cifar10", 256, []),
     ("realnvp", "realnvp/cifar10", 256, []),
+    ("edm", "edm/cifar10", 256, []),
+    ("edm_dit", "edm/cifar10_dit", 256, []),
 ]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--only", default="", help="substring filter on names")
     args = ap.parse_args()
 
     import jax
@@ -48,6 +52,8 @@ def main() -> None:
     apply_prng_env()
 
     for name, exp, bs, extra in CASES:
+        if args.only and args.only not in name:
+            continue
         try:
             cfg = compose(REPO / "configs",
                           [f"experiment={exp}",

@@ -62,5 +62,8 @@ run_one ddpm_cifar_dit   ddpm/cifar10_dit $((30*S)) \
 # modern recipe: v-prediction + min-SNR + EMA + DPM val sampler (round 3c)
 run_one ddpm_cifar_dit_v ddpm/cifar10_dit_v $((30*S)) \
     trainer.check_val_every_n_epoch=5
+# EDM sigma-space diffusion + 18-step Heun sampling (round 3c)
+run_one edm_mnist        edm/mnist        $((30*S)) \
+    trainer.check_val_every_n_epoch=5
 
 echo "[$(date +%H:%M:%S)] gallery complete"
