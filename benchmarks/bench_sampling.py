@@ -75,6 +75,15 @@ def main() -> None:
     bench(jax.jit(lambda s, r: fm.sample(s, r, BATCH)), fstate,
           "flow_cifar10_heun50_samples_per_sec", ode_steps=50)
 
+    # EDM: 18-step Karras-grid Heun (35 UNet evals; models/edm.py)
+    from igm_tpu.models.edm import EDM
+    edm = EDM(datamodule=dm_cfg, hidden_dim=64, dim_mults=[1, 2, 4],
+              sample_steps=18)
+    edm.steps_per_epoch = 391
+    estate = jax.jit(edm.init_state)(jax.random.PRNGKey(0))
+    bench(jax.jit(lambda s, r: edm.sample(s, r, BATCH)), estate,
+          "edm_cifar10_heun18_samples_per_sec", heun_steps=18)
+
     # realnvp: sampling is ONE inverse conv stack (no chain at all)
     from igm_tpu.models.realnvp import RealNVP
     nvp = RealNVP(datamodule=dm_cfg, hidden_dim=128)
