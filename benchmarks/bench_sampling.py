@@ -84,6 +84,19 @@ def main() -> None:
     bench(jax.jit(lambda s, r: edm.sample(s, r, BATCH)), estate,
           "edm_cifar10_heun18_samples_per_sec", heun_steps=18)
 
+    # consistency model: 1-step (one denoiser forward) and 2-step
+    # multistep refinement (models/consistency.py) — the endpoint of the
+    # fast-sampler ladder
+    from igm_tpu.models.consistency import ConsistencyModel
+    cm = ConsistencyModel(datamodule=dm_cfg, hidden_dim=64,
+                          dim_mults=[1, 2, 4], ema_decay=0.0)
+    cm.steps_per_epoch = 391
+    cstate = jax.jit(cm.init_state)(jax.random.PRNGKey(0))
+    bench(jax.jit(lambda s, r: cm.sample(s, r, BATCH)), cstate,
+          "consistency_cifar10_2step_samples_per_sec", nfe=2)
+    bench(jax.jit(lambda s, r: cm.multistep_sample(s, r, BATCH, steps=1)),
+          cstate, "consistency_cifar10_1step_samples_per_sec", nfe=1)
+
     # realnvp: sampling is ONE inverse conv stack (no chain at all)
     from igm_tpu.models.realnvp import RealNVP
     nvp = RealNVP(datamodule=dm_cfg, hidden_dim=128)

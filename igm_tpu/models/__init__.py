@@ -7,7 +7,8 @@ listing is for interactive use::
 """
 
 __all__ = [
-    "aae", "age", "base", "BiGAN", "cvae", "ddpm", "edm", "factor_vae",
+    "aae", "age", "base", "BiGAN", "consistency", "cvae", "ddpm", "edm",
+    "factor_vae",
     "flow_matching", "gan", "info_gan", "latent_ddpm", "made", "pixelcnn",
     "realnvp", "speed_gan", "tar", "vae", "vae_gan", "vqvae", "wgan",
     "wgan_gp",

@@ -57,6 +57,7 @@ SMOKE_EXPERIMENTS = [
     "flow/cond_mnist",   # flow matching + CFG (beyond parity)
     "realnvp/mnist",     # exact-likelihood flow (beyond parity)
     "edm/mnist",         # sigma-space EDM + Heun sampler (beyond parity)
+    "consistency/mnist",  # consistency training, 1-2 step gen (beyond parity)
 ]
 
 
@@ -78,7 +79,7 @@ def test_smoke(config_dir, tmp_path, experiment):
         # tiny UNet + short chain so the scan sampler stays fast on CPU
         extra = ["model.hidden_dim=16", "model.timesteps=8",
                  "datamodule.batch_size=8", "+model.sample_batch=8"]
-    if experiment.startswith(("flow", "edm")):
+    if experiment.startswith(("flow", "edm", "consistency")):
         extra = ["model.hidden_dim=16", "model.sample_steps=3",
                  "datamodule.batch_size=8", "+model.sample_batch=8"]
     if experiment.startswith("realnvp"):
