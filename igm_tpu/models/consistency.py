@@ -1,4 +1,4 @@
-"""Consistency models — one/two-step generation via consistency training
+r"""Consistency models — one/two-step generation via consistency training
 (Song et al. 2023 "Consistency Models"; improved recipe from Song &
 Dhariwal 2023 "Improved Techniques for Training Consistency Models",
 "iCT") — beyond parity.
@@ -40,12 +40,16 @@ single-eval generation.
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.special import erf as _erf  # host-side, trace-time constants
+
+# host-side, trace-time constants only — stdlib erf keeps scipy out of the
+# runtime dependency set (it is a test-only extra in pyproject.toml)
+_erf = np.vectorize(math.erf, otypes=[np.float64])
 
 from ..core.modules import ModuleDict
 from ..core.optim import OptimizerSet, adam
@@ -155,7 +159,7 @@ class ConsistencyModel(BaseModel):
     # ------------------------------------------------------------------ train
     def train_step(self, state: TrainState, batch):
         imgs_raw, labels = batch
-        state, rngs = state.next_rng(3)
+        state, rngs = state.next_rng(2)
         i_rng, z_rng = rngs[0], rngs[1]
         x = self.preprocess(imgs_raw)
         n = x.shape[0]
@@ -221,7 +225,9 @@ class ConsistencyModel(BaseModel):
         # between sigma_max and sigma_min, descending
         grid = self._grid()[::-1]  # descending smax..smin
         idx = np.linspace(0, len(grid) - 1, steps + 1).round().astype(int)
-        t_ks = grid[idx[1:-1]]  # exclude smax (done) and smin (identity)
+        # rounding can collide when steps approaches n_grid — dedupe so the
+        # refinement schedule stays strictly decreasing (no wasted NFE)
+        t_ks = grid[np.unique(idx[1:-1])]  # exclude smax (done), smin (id.)
         keys = jax.random.split(rng, len(t_ks))
 
         def refine(f, inp):
