@@ -28,6 +28,7 @@ CASES = [
     ("realnvp", "realnvp/cifar10", 256, []),
     ("edm", "edm/cifar10", 256, []),
     ("edm_dit", "edm/cifar10_dit", 256, []),
+    ("consistency", "consistency/cifar10", 256, []),
 ]
 
 

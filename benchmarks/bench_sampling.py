@@ -22,18 +22,27 @@ ITERS = 3
 
 
 def bench(sample_fn, state, metric: str, **extra) -> None:
-    """Pre-compile (warmup call), then hard-fence ITERS timed calls."""
+    """Pre-compile (warmup call), then hard-fence ITERS timed calls.
+
+    The fence is ``device_get`` of a computed reduction, NOT
+    ``block_until_ready`` — over the axon tunnel the latter can resolve
+    before queued work executes (NOTES.md "TIMING TRAP"; unfenced
+    short-sampler numbers here read up to 3x too high)."""
     import jax
-    jax.block_until_ready(sample_fn(state, jax.random.PRNGKey(1)))
+    import jax.numpy as jnp
+
+    def fence(x):
+        return float(jax.device_get(jnp.sum(x)))
+
+    fence(sample_fn(state, jax.random.PRNGKey(1)))
     t0 = time.perf_counter()
-    out = None
     for i in range(ITERS):
-        out = sample_fn(state, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
+        fence(sample_fn(state, jax.random.PRNGKey(2 + i)))
     dt = time.perf_counter() - t0
     print(json.dumps({"metric": metric,
                       "value": round(BATCH * ITERS / dt, 3),
-                      "unit": "samples/sec", "batch": BATCH, **extra}))
+                      "unit": "samples/sec", "batch": BATCH, **extra}),
+          flush=True)
 
 
 def main() -> None:

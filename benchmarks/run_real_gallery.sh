@@ -52,18 +52,25 @@ run_one beta_vae_dsprites   beta_vae/dsprites   $((20*S))
 run_one made_mnist       made/mnist       $((25*S))
 run_one pixelcnn_mnist   pixelcnn/mnist   $((25*S))
 run_one tar_mnist        tar/mnist        $((25*S))
-run_one ddpm_cifar       ddpm/cifar10     $((30*S)) trainer.check_val_every_n_epoch=5
-run_one ddpm_celeba      ddpm/celeba      $((30*S)) trainer.check_val_every_n_epoch=10
+# RGB diffusion runs carry the FID callback explicitly (the reference's
+# ddpm config drops it via /callbacks: ar_models — parity) so the degraded
+# fid_random backend leaves a monotone quality trace in summary.json
+FID_CB=+callbacks.eval_fid._target_=igm_tpu.callbacks.evaluation.FIDEvaluationCallback
+run_one ddpm_cifar       ddpm/cifar10     $((30*S)) trainer.check_val_every_n_epoch=5 "$FID_CB"
+run_one ddpm_celeba      ddpm/celeba      $((30*S)) trainer.check_val_every_n_epoch=10 "$FID_CB"
 run_one flow_mnist       flow/mnist       $((30*S)) trainer.check_val_every_n_epoch=5
 run_one realnvp_mnist    realnvp/mnist    $((25*S)) trainer.check_val_every_n_epoch=5
 # DiT backbone + DPM-Solver validation sampling in one run (round 3)
 run_one ddpm_cifar_dit   ddpm/cifar10_dit $((30*S)) \
-    trainer.check_val_every_n_epoch=5 +model.val_sampler=dpm
+    trainer.check_val_every_n_epoch=5 +model.val_sampler=dpm "$FID_CB"
 # modern recipe: v-prediction + min-SNR + EMA + DPM val sampler (round 3c)
 run_one ddpm_cifar_dit_v ddpm/cifar10_dit_v $((30*S)) \
-    trainer.check_val_every_n_epoch=5
+    trainer.check_val_every_n_epoch=5 "$FID_CB"
 # EDM sigma-space diffusion + 18-step Heun sampling (round 3c)
 run_one edm_mnist        edm/mnist        $((30*S)) \
     trainer.check_val_every_n_epoch=5
+# consistency training (iCT): 2-step multistep sampling (round 4)
+run_one consistency_mnist consistency/mnist $((60*S)) \
+    trainer.check_val_every_n_epoch=10
 
 echo "[$(date +%H:%M:%S)] gallery complete"

@@ -89,12 +89,17 @@ def _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype):
     def update(grads, state, params=None):
         del params
         count = optax.safe_int32_increment(state.count)
+        # moment arithmetic in f32 regardless of grad dtype (bf16 wgrads
+        # arrive when params are stored bf16 — made.py weight_dtype); only
+        # the STORAGE dtype is reduced
+        f32 = jnp.float32
         mu = jax.tree_util.tree_map(
-            lambda g, m: cast(b1 * m.astype(g.dtype) + (1 - b1) * g,
-                              mu_dtype), grads, state.mu)
+            lambda g, m: cast(b1 * m.astype(f32) + (1 - b1) * g.astype(f32),
+                              mu_dtype or f32), grads, state.mu)
         nu = jax.tree_util.tree_map(
-            lambda g, n: cast(b2 * n.astype(g.dtype) + (1 - b2) * g * g,
-                              nu_dtype), grads, state.nu)
+            lambda g, n: cast(b2 * n.astype(f32)
+                              + (1 - b2) * jnp.square(g.astype(f32)),
+                              nu_dtype or f32), grads, state.nu)
         bc1 = 1 - b1 ** count.astype(jnp.float32)
         bc2 = 1 - b2 ** count.astype(jnp.float32)
         updates = jax.tree_util.tree_map(
@@ -103,6 +108,43 @@ def _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype):
         return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)
+
+
+def stochastic_round_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """f32 -> bf16 with UNBIASED stochastic rounding: add uniform 16-bit
+    noise below the bf16 mantissa boundary, truncate.  Carries propagate
+    through the IEEE-754 bit pattern correctly (monotone encoding), which
+    is exactly round-up on mantissa overflow.
+
+    Round-to-nearest kills bf16 weight training when |update| < ulp(w)/2
+    (~0.4% relative): every small step rounds back and the weight
+    stagnates.  SR applies each update with probability update/ulp — the
+    EXPECTED weight trajectory equals the f32 one."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(rounded,
+                                        jnp.float32).astype(jnp.bfloat16)
+
+
+def apply_updates_sr(key: jax.Array):
+    """``optax.apply_updates`` variant for reduced-precision parameter
+    storage: bf16 leaves get the f32 sum stochastically rounded back to
+    bf16 (one sub-key per leaf); full-precision leaves are updated exactly
+    like optax does.  Returns an ``apply_fn`` for OptimizerSet.grad_step."""
+    def apply(params, updates):
+        leaves, tdef = jax.tree_util.tree_flatten(params)
+        up = jax.tree_util.tree_leaves(updates)
+        keys = jax.random.split(key, len(leaves))
+        new = []
+        for p, u, k in zip(leaves, up, keys):
+            if p.dtype == jnp.bfloat16:
+                new.append(stochastic_round_bf16(
+                    p.astype(jnp.float32) + u.astype(jnp.float32), k))
+            else:
+                new.append((p + u.astype(p.dtype)).astype(p.dtype))
+        return jax.tree_util.tree_unflatten(tdef, new)
+    return apply
 
 
 def rmsprop(lr, alpha: float = 0.99) -> optax.GradientTransformation:
@@ -147,6 +189,7 @@ class OptimizerSet:
         state: TrainState,
         opt_name: str,
         loss_fn: Callable[[Dict[str, Any]], Tuple[jnp.ndarray, Dict[str, Any]]],
+        apply_fn: Callable[[Any, Any], Any] | None = None,
     ) -> Tuple[TrainState, jnp.ndarray, Dict[str, Any]]:
         """One optimizer step on the modules owned by ``opt_name``.
 
@@ -155,6 +198,8 @@ class OptimizerSet:
         stop-gradiented — the JAX equivalent of the reference's
         ``.detach()`` / ``backward(inputs=...)`` boundaries).  If ``aux``
         contains ``"mutables"`` the state's mutables are replaced by it.
+        ``apply_fn`` overrides ``optax.apply_updates`` (stochastic-rounded
+        bf16 parameter storage: ``apply_updates_sr``).
         """
         tx, mods = self._opts[opt_name]
         sub = {n: state.params[n] for n in mods}
@@ -164,7 +209,7 @@ class OptimizerSet:
 
         (loss, aux), grads = jax.value_and_grad(wrapped, has_aux=True)(sub)
         updates, new_opt = tx.update(grads, state.opt_states[opt_name], sub)
-        new_sub = optax.apply_updates(sub, updates)
+        new_sub = (apply_fn or optax.apply_updates)(sub, updates)
         state = state.replace(
             params={**state.params, **new_sub},
             opt_states={**state.opt_states, opt_name: new_opt},

@@ -15,6 +15,7 @@ NOTE: flattening order is NHWC -> (h w c); the reference flattens torch NCHW
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -23,7 +24,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..core.modules import ModuleDict
-from ..core.optim import OptimizerSet, adam, step_lr
+from ..core.optim import OptimizerSet, adam, apply_updates_sr, step_lr
 from ..core.state import TrainState, bump
 from ..networks.base import make_bias_init, torch_kernel_init
 from .base import BaseModel
@@ -112,7 +113,10 @@ def _gmo_bwd(res, g):
     n_class = out_f // in_dim
     g3 = g.astype(jnp.float32).reshape(hidden, in_dim, n_class)
     gm = (g3 * mask_small.T[:, :, None]).reshape(hidden, out_f)
-    return (gm, jnp.zeros_like(mask_small))
+    # cotangent dtype must match the primal kernel's (bf16 when the output
+    # layer stores bf16 weights — MADE.weight_dtype); the mask multiply
+    # itself stays f32
+    return (gm.astype(g.dtype), jnp.zeros_like(mask_small))
 
 
 _grad_mask_out.defvjp(_gmo_fwd, _gmo_bwd)
@@ -150,6 +154,7 @@ class MaskedPixelOutput(nn.Module):
     mask_small: Any  # (in_dim, hidden) numpy
     n_class: int
     dtype: Any = None
+    param_dtype: Any = jnp.float32  # bf16 = half the W fwd/dgrad/dW traffic
 
     def setup(self):
         in_dim, hidden = self.mask_small.shape
@@ -160,7 +165,7 @@ class MaskedPixelOutput(nn.Module):
 
         self.kernel = self.param(
             "kernel", _zeroed_masked_init(torch_kernel_init, mask_t_expanded),
-            (hidden, in_dim * self.n_class))
+            (hidden, in_dim * self.n_class), self.param_dtype)
         self.bias = self.param(
             "bias", make_bias_init(hidden), (in_dim * self.n_class,))
 
@@ -194,6 +199,7 @@ class MADENet(nn.Module):
     n_layer: int
     mask_seed: int = 0
     dtype: Any = None
+    out_param_dtype: Any = jnp.float32
 
     def setup(self):
         hidden_masks, out_small = build_masks(
@@ -201,7 +207,8 @@ class MADENet(nn.Module):
         self.layers = [MaskedLinear(m, dtype=self.dtype)
                        for m in hidden_masks]
         self.out_layer = MaskedPixelOutput(out_small, self.n_class,
-                                           dtype=self.dtype)
+                                           dtype=self.dtype,
+                                           param_dtype=self.out_param_dtype)
 
     def __call__(self, x_flat, train: bool = True):
         """x_flat: (N, D) floats -> logits (N, D, n_class)."""
@@ -223,21 +230,33 @@ class MADENet(nn.Module):
 class MADE(BaseModel):
     def __init__(self, datamodule: Any, hidden_dim: int = 1024,
                  n_layer: int = 3, lr: float = 1e-3,
-                 compute_dtype: str = "auto"):
+                 compute_dtype: str = "auto", weight_dtype: str = "auto"):
         super().__init__(datamodule)
         self.save_hyperparameters(hidden_dim=hidden_dim, n_layer=n_layer,
-                                  lr=lr, compute_dtype=compute_dtype)
+                                  lr=lr, compute_dtype=compute_dtype,
+                                  weight_dtype=weight_dtype)
         self.in_dim = self.width * self.height * self.channels
-        # bf16 GEMM operands on TPU (params/optimizer stay f32; logits
+        # bf16 GEMM operands on TPU (optimizer stays f32-math; logits
         # accumulate in f32 via preferred_element_type) — same policy and
         # validation discipline as DDPM's compute_dtype (ddpm.py:46-50)
         if compute_dtype == "auto":
             compute_dtype = ("bfloat16" if jax.default_backend() == "tpu"
                              else "float32")
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else None
+        # weight_dtype=bfloat16 STORES the output-layer kernel in bf16 with
+        # stochastic-rounded updates (core/optim.apply_updates_sr) — the
+        # step is HBM-bound on that 822 MB layer's traffic (docs/MFU_AR.md)
+        # and W's fwd+dgrad+dW legs are ~45% of the minimal 6.6 GB step.
+        # "auto" honors IGM_MADE_WDTYPE (A/B lever), default f32.
+        if weight_dtype == "auto":
+            weight_dtype = os.environ.get("IGM_MADE_WDTYPE", "float32")
+        self._bf16_weights = (weight_dtype == "bfloat16"
+                              and dtype is not None)
+        out_pdtype = jnp.bfloat16 if self._bf16_weights else jnp.float32
         self.modules = ModuleDict(
             net=MADENet(self.in_dim, hidden_dim, n_class=256,
-                        n_layer=n_layer, dtype=dtype))
+                        n_layer=n_layer, dtype=dtype,
+                        out_param_dtype=out_pdtype))
 
     def init_state(self, rng: jax.Array) -> TrainState:
         hp = self.hparams
@@ -314,7 +333,9 @@ class MADE(BaseModel):
             return bpd, {"metrics": {"train_bpd": bpd},
                          "mutables": {**state.mutables, "net": mut}}
 
-        state, _, aux = self.optimizers.grad_step(state, "opt", loss_fn)
+        apply_fn = (apply_updates_sr(_rng) if self._bf16_weights else None)
+        state, _, aux = self.optimizers.grad_step(state, "opt", loss_fn,
+                                                  apply_fn=apply_fn)
         return bump(state), aux["metrics"]
 
     # --------------------------------------------------------------- sampling

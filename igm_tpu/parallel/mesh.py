@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+FSDP_AXIS = "fsdp"  # optional third axis: data x fsdp x model (TP+ZeRO)
 
 # Leaves smaller than this stay replicated under FSDP: sharding tiny tensors
 # trades an all-gather dispatch for negligible memory.
@@ -34,14 +35,31 @@ FSDP_MIN_SIZE = 2 ** 11
 
 
 def make_mesh(data: int = -1, devices: Optional[list] = None,
-              model: int = 1) -> Mesh:
+              model: int = 1, fsdp: int = 1) -> Mesh:
     """Device mesh. ``data=-1`` uses every visible device (divided by
-    ``model`` when a model axis is requested).
+    ``model``/``fsdp`` when those axes are requested).
 
     ``model=1`` (default) keeps the 1-D data-parallel mesh; ``model>1``
-    builds a 2-D ``(data, model)`` mesh for FSDP-style state sharding."""
+    builds a 2-D ``(data, model)`` mesh for FSDP-style state sharding.
+    ``fsdp>1`` (with ``model>1``) builds the composed 3-D
+    ``(data, fsdp, model)`` mesh: Megatron TP over ``model``, ZeRO state
+    sharding over ``fsdp`` (which is also a batch/data axis — the batch
+    shards over ``data x fsdp``), pure replication over ``data``."""
     devs = list(devices if devices is not None else jax.devices())
     m = max(1, int(model or 1))
+    f = max(1, int(fsdp or 1))
+    if f > 1:
+        if m < 2:
+            raise ValueError("fsdp axis requires a model axis (use the 2-D "
+                             "(data, model) mesh for FSDP-only sharding)")
+        if len(devs) % (f * m):
+            raise ValueError(
+                f"fsdp*model {f}*{m} does not divide {len(devs)} devices")
+        n = len(devs) // (f * m) if data in (-1, None) else int(data)
+        n = max(1, min(n, len(devs) // (f * m)))
+        mesh_devs = mesh_utils.create_device_mesh(
+            (n, f, m), devices=devs[:n * f * m])
+        return Mesh(mesh_devs, (DATA_AXIS, FSDP_AXIS, MODEL_AXIS))
     if m > 1:
         if len(devs) % m:
             raise ValueError(f"model axis {m} does not divide {len(devs)} devices")
@@ -55,15 +73,24 @@ def make_mesh(data: int = -1, devices: Optional[list] = None,
     return Mesh(mesh_devs, (DATA_AXIS,))
 
 
+def _batch_axes(mesh: Mesh):
+    """Axes the batch dimension shards over: ``data``, plus ``fsdp`` on the
+    composed 3-D mesh (ZeRO's shard axis is a data axis for the batch)."""
+    if FSDP_AXIS in mesh.axis_names:
+        return (DATA_AXIS, FSDP_AXIS)
+    return DATA_AXIS
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis split over the data axis; trailing axes replicated."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading (batch) axis split over the data axis (and ``fsdp`` on the
+    3-D mesh); trailing axes replicated."""
+    return NamedSharding(mesh, P(_batch_axes(mesh)))
 
 
 def chunk_batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for K-step chained batches [k, B, ...]: the BATCH axis (1)
     splits over ``data``; the chunk axis stays replicated (it is scanned)."""
-    return NamedSharding(mesh, P(None, DATA_AXIS))
+    return NamedSharding(mesh, P(None, _batch_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -81,9 +108,9 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
-def _fsdp_spec(mesh: Mesh, x) -> P:
-    """PartitionSpec sharding ``x``'s largest ``model``-divisible axis."""
-    m = mesh.shape[MODEL_AXIS]
+def _fsdp_spec(mesh: Mesh, x, axis: str = MODEL_AXIS) -> P:
+    """PartitionSpec sharding ``x``'s largest ``axis``-divisible axis."""
+    m = mesh.shape[axis]
     shape = getattr(x, "shape", ())
     if not shape or int(np.prod(shape)) < FSDP_MIN_SIZE:
         return P()
@@ -96,7 +123,7 @@ def _fsdp_spec(mesh: Mesh, x) -> P:
     if best_dim is None:
         return P()
     spec = [None] * len(shape)
-    spec[best_dim] = MODEL_AXIS
+    spec[best_dim] = axis
     return P(*spec)
 
 
@@ -149,6 +176,13 @@ def _tp_spec(mesh: Mesh, path, x) -> Optional[P]:
             return None
         spec = [None, None]
         spec[dim] = MODEL_AXIS
+        # composed 3-D mesh: ZeRO-shard the non-TP dim over ``fsdp`` too
+        if FSDP_AXIS in mesh.axis_names:
+            f = mesh.shape[FSDP_AXIS]
+            other = 1 - dim
+            if f > 1 and shape[other] % f == 0 and \
+                    int(np.prod(shape)) >= FSDP_MIN_SIZE:
+                spec[other] = FSDP_AXIS
         return P(*spec)
     if leaf == "bias" and len(shape) == 1:
         if col and shape[0] % m == 0:
@@ -163,7 +197,10 @@ def _spec_for(mesh: Mesh, path, x, mode: str) -> P:
         spec = _tp_spec(mesh, path, x)
         if spec is not None:
             return spec
-    return _fsdp_spec(mesh, x)
+    # composed 3-D mesh: non-TP leaves ZeRO-shard over the fsdp axis (the
+    # model axis is reserved for TP there); 2-D mesh keeps the model axis
+    axis = FSDP_AXIS if FSDP_AXIS in mesh.axis_names else MODEL_AXIS
+    return _fsdp_spec(mesh, x, axis)
 
 
 def shard_state(mesh: Mesh, tree: Any, mode: str = "fsdp") -> Any:
@@ -204,3 +241,23 @@ def init_state_sharded(model, mesh: Mesh, rng, mode: str = "fsdp") -> Any:
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def sample_sharded(model, mesh: Mesh, state, rng, n: int, **kw):
+    """Multi-chip inference: run ``model.sample`` under the mesh with the
+    sample batch sharded over the data axes.
+
+    ``out_shardings`` pins the generated batch to the data axes and GSPMD
+    propagates that sharding backwards through the sampler's ``lax.scan``
+    (every denoiser forward in the chain runs batch-sharded; sharded or
+    replicated params both compose).  ``n`` must divide the data-axes
+    product.  Math is identical to the single-device sampler — same RNG
+    stream, sharding constraints change layout only."""
+    per = mesh.shape[DATA_AXIS]
+    if FSDP_AXIS in mesh.axis_names:
+        per *= mesh.shape[FSDP_AXIS]
+    if n % per:
+        raise ValueError(f"sample batch {n} not divisible by data axes {per}")
+    fn = jax.jit(lambda s, r: model.sample(s, r, n, **kw),
+                 out_shardings=batch_sharding(mesh))
+    return fn(state, rng)

@@ -97,3 +97,69 @@ def test_export_unknown_sampler_fails_loudly(tmp_path):
         capture_output=True, text=True, env=_env(), timeout=600)
     assert out.returncode != 0
     assert "has no dpm_sample" in out.stderr
+
+
+@pytest.mark.slow
+def test_export_consistency_one_step(tmp_path):
+    """--sampler multistep --steps 1: single-eval consistency generation as
+    a serving artifact (the endpoint of the fast-sampler ladder)."""
+    art = tmp_path / "cm.jaxexport"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export.py"),
+         "experiment=consistency/mnist", "model.hidden_dim=8",
+         "model.dim_mults=[1,2]", "model.n_grid=8",
+         "--n", "2", "--sampler", "multistep", "--steps", "1",
+         "--platforms", "cpu", "--out", str(art)],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta = json.loads((tmp_path / "cm.jaxexport.json").read_text())
+    assert meta["sampler"] == "multistep"
+
+    import jax
+    from jax import export as jexport
+    exported = jexport.deserialize(art.read_bytes())
+    imgs = np.asarray(exported.call(jax.random.PRNGKey(1)))
+    assert imgs.shape == (2, 28, 28, 1)
+    assert np.isfinite(imgs).all()
+
+
+@pytest.mark.slow
+def test_export_edm_heun(tmp_path):
+    """--sampler heun with the model's own sample_steps (no --steps):
+    EDM Karras-grid Heun sampling as a serving artifact."""
+    art = tmp_path / "edm.jaxexport"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export.py"),
+         "experiment=edm/mnist", "model.hidden_dim=8",
+         "model.dim_mults=[1,2]", "model.sample_steps=3",
+         "--n", "2", "--sampler", "heun",
+         "--platforms", "cpu", "--out", str(art)],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    import jax
+    from jax import export as jexport
+    exported = jexport.deserialize(art.read_bytes())
+    imgs = np.asarray(exported.call(jax.random.PRNGKey(1)))
+    assert imgs.shape == (2, 28, 28, 1)
+    assert np.isfinite(imgs).all()
+
+
+@pytest.mark.slow
+def test_export_flow_matching(tmp_path):
+    """Flow-matching ODE sampler (model default) as a serving artifact."""
+    art = tmp_path / "flow.jaxexport"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export.py"),
+         "experiment=flow/mnist", "model.hidden_dim=8",
+         "model.dim_mults=[1,2]", "model.sample_steps=3",
+         "--n", "2", "--platforms", "cpu", "--out", str(art)],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    import jax
+    from jax import export as jexport
+    exported = jexport.deserialize(art.read_bytes())
+    imgs = np.asarray(exported.call(jax.random.PRNGKey(1)))
+    assert imgs.shape == (2, 28, 28, 1)
+    assert np.isfinite(imgs).all()

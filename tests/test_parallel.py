@@ -212,3 +212,97 @@ def test_tensor_parallel_dit_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.params)),
                     jax.tree_util.tree_leaves(jax.device_get(st.params))):
         np.testing.assert_allclose(a, b, atol=3e-4)
+
+
+def test_composed_mesh_specs():
+    """(data, fsdp, model) composed mesh: TP dims keep the `model` axis,
+    the complementary kernel dim ZeRO-shards over `fsdp`, non-TP leaves
+    fall back to FSDP over `fsdp`, and the batch shards over data x fsdp.
+    eval_shape only — cheap."""
+    from igm_tpu.parallel import mesh as mesh_lib
+
+    model = _tiny_dit_ddpm()
+    mesh = mesh_lib.make_mesh(data=2, model=2, fsdp=2)
+    assert mesh.axis_names == ("data", "fsdp", "model")
+    shapes = jax.eval_shape(model.init_state, jax.random.PRNGKey(0))
+    shardings = mesh_lib.state_shardings(mesh, shapes, mode="tensor")
+
+    import jax.tree_util as jtu
+    flat = {jtu.keystr(p): s for p, s in jtu.tree_leaves_with_path(shardings)}
+
+    def spec(substr):
+        hits = [s.spec for k, s in flat.items() if substr in k]
+        assert hits, f"no leaf path contains {substr!r}"
+        return tuple(hits[0])
+
+    # column-parallel kernel: out-features over model, in-features over fsdp
+    assert spec("DiTBlock_0']['qkv']['kernel") == ("fsdp", "model")
+    assert spec("DiTBlock_0']['Dense_0']['kernel") == ("fsdp", "model")
+    # row-parallel MLP-down: in-features over model, out-features over fsdp
+    assert spec("DiTBlock_0']['Dense_1']['kernel") == ("model", "fsdp")
+    # the tiny proj (32x32 = 1024 elems) sits under FSDP_MIN_SIZE: TP dim
+    # only, fsdp dim stays replicated — sharding tiny tensors trades an
+    # all-gather dispatch for negligible memory
+    assert spec("DiTBlock_0']['proj']['kernel") == ("model", None)
+    # batch shards over BOTH data axes
+    bsh = mesh_lib.batch_sharding(mesh)
+    assert tuple(bsh.spec) == (("data", "fsdp"),)
+
+
+@pytest.mark.slow
+def test_composed_mesh_matches_single_device():
+    """Two train steps on the composed (2,2,2) data x fsdp x tensor mesh
+    match the single-device trajectory (all three parallelism modes in one
+    jitted step, GSPMD-only collectives)."""
+    from igm_tpu.parallel import mesh as mesh_lib
+
+    model = _tiny_dit_ddpm()
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    batches = [
+        (rng.integers(0, 255, (8, 16, 16, 1), dtype=np.uint8),
+         np.zeros((8,), np.int32))
+        for _ in range(2)
+    ]
+
+    s1 = jax.device_put(state, jax.devices()[0])
+    step1 = jax.jit(model.train_step)
+    for b in batches:
+        s1, m1 = step1(s1, jax.device_put(b, jax.devices()[0]))
+
+    mesh = mesh_lib.make_mesh(data=2, model=2, fsdp=2)
+    st = mesh_lib.shard_state(mesh, state, mode="tensor")
+    qkv = st.params["denoise"]["DiTBlock_0"]["qkv"]["kernel"]
+    assert tuple(qkv.sharding.spec) == ("fsdp", "model")
+    stept = jax.jit(model.train_step)
+    for b in batches:
+        st, mt = stept(st, mesh_lib.shard_batch(mesh, b))
+
+    np.testing.assert_allclose(float(m1["train_loss/loss"]),
+                               float(mt["train_loss/loss"]), rtol=2e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s1.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(st.params))):
+        np.testing.assert_allclose(a, b, atol=3e-4)
+
+
+@pytest.mark.slow
+def test_mesh_sharded_sampling_matches_single_device():
+    """The ancestral sampling scan runs with the sample batch sharded over
+    the mesh's data axes (multi-chip inference) and produces EXACTLY the
+    single-device samples — sharding constraints change layout, not math."""
+    from igm_tpu.parallel import mesh as mesh_lib
+
+    model = _tiny_dit_ddpm()
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+
+    s1 = jax.device_put(state, jax.devices()[0])
+    ref = jax.device_get(
+        jax.jit(lambda s, r: model.sample(s, r, 16))(s1, jax.random.PRNGKey(7)))
+
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    st = mesh_lib.shard_state(mesh, state, mode="tensor")
+    out = mesh_lib.sample_sharded(model, mesh, st, jax.random.PRNGKey(7), 16)
+    assert "data" in str(out.sharding.spec)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(jax.device_get(out)),
+                               atol=2e-4)

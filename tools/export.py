@@ -60,7 +60,11 @@ def do_export(args) -> None:
             raise SystemExit(f"--sampler {args.sampler}: "
                              f"{type(model).__name__} has no "
                              f"{args.sampler}_sample")
-        steps = args.steps or int(model.hparams[f"{args.sampler}_steps"])
+        # per-sampler step hparam (ddim_steps/dpm_steps) or the model's
+        # generic sample_steps (EDM heun, consistency multistep)
+        steps = args.steps or int(
+            model.hparams.get(f"{args.sampler}_steps")
+            or model.hparams.get("sample_steps"))
         sample_fn = lambda rng: method(state, rng, n, steps=steps)
     fn = jax.jit(sample_fn)
     key = jax.random.PRNGKey(0)
@@ -115,9 +119,12 @@ def main() -> None:
     parser.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     parser.add_argument("--n", type=int, default=64, help="serving batch")
     parser.add_argument("--sampler", default="default",
-                        choices=["default", "ddim", "dpm"],
-                        help="ddpm-family: export a fast sampler instead "
-                             "of the model's default (ancestral) one")
+                        choices=["default", "ddim", "dpm", "heun",
+                                 "multistep"],
+                        help="export a specific sampler instead of the "
+                             "model's default: ddim/dpm (ddpm family), "
+                             "heun (EDM/flow), multistep (consistency; "
+                             "--steps 1 = single-eval generation)")
     parser.add_argument("--steps", type=int, default=None,
                         help="fast-sampler step count (default: config)")
     parser.add_argument("--out", default="sampler.jaxexport")

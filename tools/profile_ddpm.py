@@ -232,6 +232,14 @@ def main() -> None:
     if wall_dt is not None:
         md.append(f"- wall (incl. dispatch + fence): "
                   f"{result['wall_ms_per_step']:.2f} ms/step")
+        md.append(
+            "- NOTE: the wall figure is a *profiling-run artifact*, not the "
+            "production step time — the loop here dispatches one step at a "
+            "time with `jax.profiler.trace` streaming xplane events over the "
+            "remote-tunnel transport, which multiplies per-dispatch latency. "
+            "Production throughput (chained dispatch, no profiler) is the "
+            "headline in bench.py / benchmarks/results_round*.json; the "
+            "device-busy ms/step above is the number the two runs share.")
     md += ["", "| category | ms/step | % |", "|---|---|---|"]
     tot = result["total_device_us"]
     for cat, us in result["per_category_us"].items():
