@@ -130,98 +130,120 @@ def main() -> None:
         "width": 32, "height": 32, "channels": 3,
         "transforms": {"convert": True, "normalize": True},
     })
+
+    def measure(model, metric: str, iters: int, step_s_guess: float) -> dict:
+        """Chained, hard-fenced train-step throughput for one model."""
+        model.steps_per_epoch = 391  # 50000 / 128, matches the real config
+        mesh = mesh_lib.make_mesh()
+        state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+        state = mesh_lib.replicate(mesh, state)
+
+        rng = np.random.default_rng(0)
+        batch = (rng.integers(0, 255, (BATCH, 32, 32, 3), dtype=np.uint8),
+                 np.zeros((BATCH,), np.int32))
+
+        # Chained execution mirrors what a real training run now does:
+        # trainer.steps_per_execution=auto applies the resolve_chain_k
+        # policy (dispatch overhead <= 2% of covered work).
+        # IGM_BENCH_CHAIN=1 restores single-dispatch.
+        if jax.default_backend() == "tpu":
+            from igm_tpu.core.trainer import Trainer
+            default_chain = str(Trainer.resolve_chain_k(step_s_guess, 391))
+        else:
+            default_chain = "1"
+        chain = int(os.environ.get("IGM_BENCH_CHAIN", default_chain))
+        if chain > 1:
+            step = jax.jit(model.train_step_n, donate_argnums=0)
+            chunk = tuple(np.stack([a] * chain) for a in batch)
+            dev_batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x),
+                                         mesh_lib.chunk_batch_sharding(mesh)),
+                chunk)
+        else:
+            step = jax.jit(model.train_step, donate_argnums=0)
+            dev_batch = mesh_lib.shard_batch(mesh, batch)
+
+        # FLOPs/step from XLA's own cost analysis of the lowered program.
+        flops_per_step = None
+        try:
+            compiled = step.lower(state, dev_batch).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops_per_step = float(cost.get("flops", 0.0)) or None
+        except Exception as exc:
+            sys.stderr.write(f"[bench] cost analysis unavailable: {exc}\n")
+
+        # HARD completion fence: device_get of a param leaf.
+        # block_until_ready over the axon tunnel can return before
+        # donated-state work has executed; a host transfer of a computed
+        # leaf cannot.
+        def fence(st):
+            return jax.device_get(jax.tree_util.tree_leaves(st.params)[0])
+
+        for _ in range(WARMUP):
+            state, metrics = step(state, dev_batch)
+        fence(state)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = step(state, dev_batch)
+        fence(state)
+        dt = time.perf_counter() - t0
+
+        n_steps = iters * max(chain, 1)  # CHAIN train steps per dispatch
+        imgs_per_sec = BATCH * n_steps / dt
+        dev = jax.devices()[0]
+        out = {
+            "metric": metric,
+            "value": round(imgs_per_sec, 2),
+            "unit": "imgs/sec",
+            "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
+            "batch": BATCH,
+            "chain": chain,
+            "steps_per_sec": round(n_steps / dt, 3),
+            "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+            # provenance: the denominator is a DOCUMENTED ESTIMATE of the
+            # reference's V100 throughput, not a measured number (the
+            # reference publishes none) — benchmarks/BASELINE_DERIVATION.md
+            "baseline": "derived-estimate",
+            "baseline_imgs_per_sec": BASELINE_IMGS_PER_SEC,
+            "baseline_doc": "benchmarks/BASELINE_DERIVATION.md",
+        }
+        if flops_per_step:
+            # XLA cost analysis counts a lax.scan body ONCE, so the chained
+            # program's flops are already per-STEP (tests/test_chained.py)
+            peak = _peak_flops(getattr(dev, "device_kind", ""), dev.platform)
+            achieved = flops_per_step * n_steps / dt
+            out["flops_per_step"] = round(flops_per_step / 1e9, 2)  # GFLOPs
+            out["achieved_tflops"] = round(achieved / 1e12, 2)
+            out["mfu"] = round(achieved / peak, 4)
+        return out
+
+    # Secondary headline: DiT-768 backbone — the best-MFU model in the repo
+    # (transformer GEMMs clear the conv UNet's ~41% architectural ceiling).
+    # Printed FIRST so the LAST line stays the flagship the driver parses.
+    # IGM_BENCH_DIT=0 skips it (CPU smoke runs skip it automatically).
+    if os.environ.get("IGM_BENCH_DIT", "1") == "1" \
+            and jax.default_backend() == "tpu":
+        dit = DDPM(datamodule=dm_cfg, hidden_dim=768, timesteps=1000,
+                   network="dit", depth=12, heads=12, patch=2,
+                   loss_type="l1", lr=1e-4, b1=0.9, b2=0.999,
+                   compute_dtype=os.environ.get("IGM_BENCH_DTYPE", "auto"))
+        try:
+            print(json.dumps(measure(
+                dit, "ddpm_cifar10_dit768_train_imgs_per_sec",
+                iters=max(ITERS // 4, 3), step_s_guess=0.42)), flush=True)
+        except Exception as exc:
+            sys.stderr.write(f"[bench] DiT leg failed: {exc}\n")
+
     model = DDPM(datamodule=dm_cfg, hidden_dim=64, timesteps=1000,
                  dim_mults=[1, 2, 4], loss_type="l1", lr=1e-4, b1=0.9,
                  b2=0.999,
                  compute_dtype=os.environ.get("IGM_BENCH_DTYPE", "auto"))
-    model.steps_per_epoch = 391  # 50000 / 128, matches the real config
-
-    mesh = mesh_lib.make_mesh()
-    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
-    state = mesh_lib.replicate(mesh, state)
-
-    rng = np.random.default_rng(0)
-    batch = (rng.integers(0, 255, (BATCH, 32, 32, 3), dtype=np.uint8),
-             np.zeros((BATCH,), np.int32))
-
-    # Chained execution mirrors what a real training run now does:
-    # trainer.steps_per_execution=auto applies the resolve_chain_k policy
-    # (dispatch overhead <= 2% of covered work; the ~21 ms flagship step
-    # chains K=6 against the ~2.7 ms/dispatch tunnel overhead the round-3
-    # trace measured).  IGM_BENCH_CHAIN=1 restores single-dispatch.
-    if jax.default_backend() == "tpu":
-        from igm_tpu.core.trainer import Trainer
-        default_chain = str(Trainer.resolve_chain_k(0.021, 391))
-    else:
-        default_chain = "1"
-    CHAIN = int(os.environ.get("IGM_BENCH_CHAIN", default_chain))
-    if CHAIN > 1:
-        step = jax.jit(model.train_step_n, donate_argnums=0)
-        chunk = tuple(np.stack([a] * CHAIN) for a in batch)
-        dev_batch = jax.tree_util.tree_map(
-            lambda x: jax.device_put(np.asarray(x),
-                                     mesh_lib.chunk_batch_sharding(mesh)),
-            chunk)
-    else:
-        step = jax.jit(model.train_step, donate_argnums=0)
-        dev_batch = mesh_lib.shard_batch(mesh, batch)
-
-    # FLOPs/step from XLA's own cost analysis of the lowered computation.
-    flops_per_step = None
-    try:
-        compiled = step.lower(state, dev_batch).compile()
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0)) or None
-    except Exception as exc:
-        sys.stderr.write(f"[bench] cost analysis unavailable: {exc}\n")
-
-    # HARD completion fence: device_get of a param leaf.  block_until_ready
-    # over the axon tunnel can return before donated-state work has executed
-    # (see benchmarks/bench_all_families.py); a host transfer of a computed
-    # leaf cannot.
-    def fence(st):
-        return jax.device_get(jax.tree_util.tree_leaves(st.params)[0])
-
-    for _ in range(WARMUP):
-        state, metrics = step(state, dev_batch)
-    fence(state)
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, dev_batch)
-    fence(state)
-    dt = time.perf_counter() - t0
-
-    n_steps = ITERS * max(CHAIN, 1)  # each dispatch runs CHAIN train steps
-    imgs_per_sec = BATCH * n_steps / dt
-    dev = jax.devices()[0]
-    out = {
-        "metric": "ddpm_cifar10_train_imgs_per_sec",
-        "value": round(imgs_per_sec, 2),
-        "unit": "imgs/sec",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
-        "batch": BATCH,
-        "chain": CHAIN,
-        "steps_per_sec": round(n_steps / dt, 3),
-        "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
-        # provenance: the denominator is a DOCUMENTED ESTIMATE of the
-        # reference's V100 throughput, not a measured number (the reference
-        # publishes none) — see benchmarks/BASELINE_DERIVATION.md
-        "baseline": "derived-estimate",
-        "baseline_imgs_per_sec": BASELINE_IMGS_PER_SEC,
-        "baseline_doc": "benchmarks/BASELINE_DERIVATION.md",
-    }
-    if flops_per_step:
-        # XLA cost analysis counts a lax.scan body ONCE, so the chained
-        # program's flops are already per-STEP (tests/test_chained.py)
-        peak = _peak_flops(getattr(dev, "device_kind", ""), dev.platform)
-        achieved = flops_per_step * n_steps / dt
-        out["flops_per_step"] = round(flops_per_step / 1e9, 2)  # GFLOPs
-        out["achieved_tflops"] = round(achieved / 1e12, 2)
-        out["mfu"] = round(achieved / peak, 4)
-    print(json.dumps(out))
+    print(json.dumps(measure(
+        model, "ddpm_cifar10_train_imgs_per_sec", iters=ITERS,
+        step_s_guess=0.021)))
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from .state import TrainState
@@ -110,6 +111,21 @@ def _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype):
     return optax.GradientTransformation(init, update)
 
 
+def _hash_noise_u16(shape, seed: jnp.ndarray) -> jnp.ndarray:
+    """Per-element 16-bit counter-hash noise (xxhash-style multiply-xor of
+    the linear element index with a per-step seed) — the same in-kernel
+    trick as ops/pallas_dropout_attention.  Pure fusable elementwise ops:
+    unlike ``jax.random.bits`` (an RngBitGenerator HLO whose output
+    materialises to HBM — measured: its 822 MB stream erased the ENTIRE
+    bf16-weight win on MADE, 65.4 vs 76.6 steps/s), this fuses into the
+    consumer and costs no memory traffic."""
+    idx = jax.lax.iota(jnp.uint32, int(np.prod(shape))).reshape(shape)
+    h = idx * jnp.uint32(0x9E3779B1) ^ seed
+    h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA77)
+    h = h ^ (h >> 13)
+    return h & jnp.uint32(0xFFFF)
+
+
 def stochastic_round_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     """f32 -> bf16 with UNBIASED stochastic rounding: add uniform 16-bit
     noise below the bf16 mantissa boundary, truncate.  Carries propagate
@@ -120,9 +136,10 @@ def stochastic_round_bf16(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
     (~0.4% relative): every small step rounds back and the weight
     stagnates.  SR applies each update with probability update/ulp — the
     EXPECTED weight trajectory equals the f32 one."""
+    seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                              jnp.int32).astype(jnp.uint32)
     bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
-    noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
-    rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
+    rounded = (bits + _hash_noise_u16(x.shape, seed)) & jnp.uint32(0xFFFF0000)
     return jax.lax.bitcast_convert_type(rounded,
                                         jnp.float32).astype(jnp.bfloat16)
 

@@ -247,9 +247,16 @@ class MADE(BaseModel):
         # stochastic-rounded updates (core/optim.apply_updates_sr) — the
         # step is HBM-bound on that 822 MB layer's traffic (docs/MFU_AR.md)
         # and W's fwd+dgrad+dW legs are ~45% of the minimal 6.6 GB step.
-        # "auto" honors IGM_MADE_WDTYPE (A/B lever), default f32.
+        # Measured round 4 (benchmarks/made_wdtype_ab.py, b128, 100 steps):
+        # 65.7 -> 76.9 steps/s (+17%), bpd trajectory within 5e-5 of f32 at
+        # every checkpoint (counter-hash SR noise fuses — an RngBitGenerator
+        # stream erased the win).  DEFAULT ON where compute is bf16 (TPU);
+        # f32 checkpoints restore into the bf16 template (orbax casts).
+        # "auto" honors IGM_MADE_WDTYPE (A/B lever).
         if weight_dtype == "auto":
-            weight_dtype = os.environ.get("IGM_MADE_WDTYPE", "float32")
+            weight_dtype = os.environ.get(
+                "IGM_MADE_WDTYPE",
+                "bfloat16" if dtype is not None else "float32")
         self._bf16_weights = (weight_dtype == "bfloat16"
                               and dtype is not None)
         out_pdtype = jnp.bfloat16 if self._bf16_weights else jnp.float32
@@ -333,7 +340,12 @@ class MADE(BaseModel):
             return bpd, {"metrics": {"train_bpd": bpd},
                          "mutables": {**state.mutables, "net": mut}}
 
-        apply_fn = (apply_updates_sr(_rng) if self._bf16_weights else None)
+        # IGM_MADE_SR=0: measurement-only arm (round-to-nearest apply) to
+        # isolate the HBM cost of the SR noise stream; NOT for training
+        # (RTN stagnates bf16 weights once |update| < ulp/2)
+        use_sr = os.environ.get("IGM_MADE_SR", "1") == "1"
+        apply_fn = (apply_updates_sr(_rng)
+                    if (self._bf16_weights and use_sr) else None)
         state, _, aux = self.optimizers.grad_step(state, "opt", loss_fn,
                                                   apply_fn=apply_fn)
         return bump(state), aux["metrics"]

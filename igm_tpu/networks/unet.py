@@ -53,6 +53,34 @@ class ChannelLayerNorm(nn.Module):
         return (((xf - mean) / (std + self.eps)) * g + b).astype(x.dtype)
 
 
+class _BareKernel(nn.Module):
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        from .base import torch_kernel_init
+        return self.param("kernel", torch_kernel_init, self.shape)
+
+
+class QKVKernel(nn.Module):
+    """Bare (1,1,in,3*hidden) conv-kernel param at the EXACT param path,
+    shape, and init of the ``Conv(hidden*3, 1, use_bias=False)`` it
+    replaces — base.Conv wraps an inner nn.Conv, so the path is
+    Conv_0/Conv_0/kernel (checkpoint- and torch-parity-compatible).  Never
+    run as a conv: the caller slices the KERNEL into the three projections
+    instead of slicing the fused 3*hidden activation.  The round-4
+    flagship trace (benchmarks/profiles_r4/ddpm_trace.md) showed the
+    materialised bf16[256,1024,384] qkv tensor costing ~1.2 ms/step in
+    copy+pad ops; weight slices are free."""
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return _BareKernel((1, 1, self.in_dim, self.out_dim),
+                           name="Conv_0")()
+
+
 class LinearAttention(nn.Module):
     """(ddpm.py:146-166) 1x1-conv qkv + linear attention + 1x1-conv out."""
     dim: int
@@ -62,27 +90,43 @@ class LinearAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, _ = x.shape
+        b, h, w, c_in = x.shape
         hidden = self.heads * self.dim_head
-        qkv = Conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
-        if os.environ.get("IGM_ATTN_SPLIT_HEADS", "0") == "1":
-            # legacy head-split basis (round-2 default); kept for A/B — the
-            # 5-D (b,n,3,h,d) tensors cost ~2.5-3 ms/step in layout copies
-            # on the flagship step (benchmarks/profiles/ddpm_trace.md)
-            qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            out = linear_attention(q, k, v).reshape(b, h, w, hidden)
-        else:
-            # head-folded basis: channel-contiguous slices, zero transposes
-            # (ops/attention.py linear_attention_flat).  Weight-compatible
-            # with the split path: channels [i*hidden:(i+1)*hidden] of the
-            # qkv conv are exactly q/k/v's (heads, dim_head) blocks.
-            flat = qkv.reshape(b, h * w, 3 * hidden)
-            q, k, v = (flat[..., :hidden], flat[..., hidden:2 * hidden],
-                       flat[..., 2 * hidden:])
+        mode = os.environ.get("IGM_ATTN_QKV", "wslice")
+        if mode == "wslice":
+            # per-projection GEMMs with KERNEL slices: the fused 384-wide
+            # qkv activation never exists, so neither do its layout
+            # copies.  Same math, same param tree ("Conv_0/kernel").
+            kern = QKVKernel(c_in, hidden * 3, name="Conv_0")()
+            w3 = kern.reshape(c_in, 3 * hidden)
+            if self.dtype is not None:
+                w3 = w3.astype(self.dtype)
+            x_flat = x.reshape(b, h * w, c_in)
+            if self.dtype is not None:
+                x_flat = x_flat.astype(self.dtype)
+            q = x_flat @ w3[:, :hidden]
+            k = x_flat @ w3[:, hidden:2 * hidden]
+            v = x_flat @ w3[:, 2 * hidden:]
             out = linear_attention_flat(q, k, v, self.heads)
             out = out.reshape(b, h, w, hidden)
-        return Conv(self.dim, 1, dtype=self.dtype)(out)
+        else:
+            qkv = Conv(hidden * 3, 1, use_bias=False, dtype=self.dtype)(x)
+            if mode == "split_heads":
+                # legacy head-split basis (round-2 default); kept for A/B —
+                # the 5-D (b,n,3,h,d) tensors cost ~2.5-3 ms/step in layout
+                # copies (benchmarks/profiles/ddpm_trace.md)
+                qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
+                q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+                out = linear_attention(q, k, v).reshape(b, h, w, hidden)
+            else:  # "conv": round-3 default — fused conv + activation slice
+                flat = qkv.reshape(b, h * w, 3 * hidden)
+                q, k, v = (flat[..., :hidden], flat[..., hidden:2 * hidden],
+                           flat[..., 2 * hidden:])
+                out = linear_attention_flat(q, k, v, self.heads)
+                out = out.reshape(b, h, w, hidden)
+        # explicit name: matches the auto-assigned "Conv_1" of the
+        # conv-path layout (in wslice mode QKVKernel holds "Conv_0")
+        return Conv(self.dim, 1, dtype=self.dtype, name="Conv_1")(out)
 
 
 class AttnBlock(nn.Module):

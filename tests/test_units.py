@@ -208,3 +208,41 @@ def test_gan_batchnorm_stats_update_in_both_phases():
     diff = sum(float(np.abs(a - b).sum()) for a, b in zip(
         jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after_g)))
     assert diff > 0, "netD batch_stats did not update during the G phase"
+
+
+def test_qkv_wslice_matches_conv_path():
+    """The round-4 kernel-slice qkv path (IGM_ATTN_QKV=wslice, the TPU
+    default — the fused 3*hidden activation never materialises) is exactly
+    the fused-conv path: same param tree, same init values, bit-identical
+    outputs on shared params."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+
+    from igm_tpu.networks.unet import LinearAttention
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8, 16)),
+                    jnp.float32)
+    old = os.environ.get("IGM_ATTN_QKV")
+    try:
+        outs, params = {}, {}
+        for mode in ("wslice", "conv", "split_heads"):
+            os.environ["IGM_ATTN_QKV"] = mode
+            m = LinearAttention(16, heads=4, dim_head=8)
+            params[mode] = m.init(jax.random.PRNGKey(0), x)
+            outs[mode] = m.apply(params["wslice"], x)
+        assert jtu.tree_structure(params["wslice"]) == \
+            jtu.tree_structure(params["conv"])
+        for a, b in zip(jtu.tree_leaves(params["wslice"]),
+                        jtu.tree_leaves(params["conv"])):
+            assert bool(jnp.array_equal(a, b))
+        assert float(jnp.abs(outs["wslice"] - outs["conv"]).max()) == 0.0
+        assert float(jnp.abs(outs["wslice"] - outs["split_heads"]).max()) \
+            < 1e-5
+    finally:
+        if old is None:
+            os.environ.pop("IGM_ATTN_QKV", None)
+        else:
+            os.environ["IGM_ATTN_QKV"] = old
