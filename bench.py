@@ -220,20 +220,21 @@ def main() -> None:
             out["mfu"] = round(achieved / peak, 4)
         return out
 
-    # Secondary headline: DiT-768 backbone — the best-MFU model in the repo
-    # (transformer GEMMs clear the conv UNet's ~41% architectural ceiling).
+    # Secondary headline: DiT-1024 backbone — the best-MFU model in the
+    # repo (transformer GEMMs clear the conv UNet's ~41% architectural
+    # ceiling; MFU 0.548 measured round 4, benchmarks/dit_round4.jsonl).
     # Printed FIRST so the LAST line stays the flagship the driver parses.
     # IGM_BENCH_DIT=0 skips it (CPU smoke runs skip it automatically).
     if os.environ.get("IGM_BENCH_DIT", "1") == "1" \
             and jax.default_backend() == "tpu":
-        dit = DDPM(datamodule=dm_cfg, hidden_dim=768, timesteps=1000,
-                   network="dit", depth=12, heads=12, patch=2,
+        dit = DDPM(datamodule=dm_cfg, hidden_dim=1024, timesteps=1000,
+                   network="dit", depth=12, heads=16, patch=2,
                    loss_type="l1", lr=1e-4, b1=0.9, b2=0.999,
                    compute_dtype=os.environ.get("IGM_BENCH_DTYPE", "auto"))
         try:
             print(json.dumps(measure(
-                dit, "ddpm_cifar10_dit768_train_imgs_per_sec",
-                iters=max(ITERS // 4, 3), step_s_guess=0.42)), flush=True)
+                dit, "ddpm_cifar10_dit1024_train_imgs_per_sec",
+                iters=max(ITERS // 4, 3), step_s_guess=0.65)), flush=True)
         except Exception as exc:
             sys.stderr.write(f"[bench] DiT leg failed: {exc}\n")
 

@@ -34,6 +34,15 @@ CASES = [
      ["model.hidden_dim=512", "model.depth=12", "model.heads=8"]),
     ("dit_768x12", "ddpm/cifar10_dit",
      ["model.hidden_dim=768", "model.depth=12", "model.heads=12"]),
+    # round-4 width push (docs/MFU.md: width is the MFU lever) — 1024-wide,
+    # with and without remat (activation memory vs recompute FLOPs)
+    ("dit_1024x12", "ddpm/cifar10_dit",
+     ["model.hidden_dim=1024", "model.depth=12", "model.heads=16"]),
+    ("dit_1024x12_remat", "ddpm/cifar10_dit",
+     ["model.hidden_dim=1024", "model.depth=12", "model.heads=16",
+      "+model.remat=true"]),
+    ("dit_1280x16", "ddpm/cifar10_dit",
+     ["model.hidden_dim=1280", "model.depth=16", "model.heads=16"]),
     ("flow_dit_384x8", "flow/cifar10_dit", []),
 ]
 

@@ -241,6 +241,13 @@ def sample_main(argv=None) -> None:
                              "grid shows masked inputs then results")
     parser.add_argument("--resample", type=int, default=1,
                         help="RePaint resampling passes per step (U)")
+    parser.add_argument("--sampler", default=None,
+                        choices=["ddim", "dpm", "heun", "multistep"],
+                        help="use a specific fast sampler instead of the "
+                             "model default (ddim/dpm: ddpm family; heun: "
+                             "EDM; multistep: consistency)")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="fast-sampler step count (default: config)")
     args = parser.parse_args(argv)
 
     from igm_tpu.utils.platform import apply_platform_env
@@ -290,6 +297,18 @@ def sample_main(argv=None) -> None:
         masked = mask * x0  # holes render mid-gray in [-1,1] space
         imgs = jnp.concatenate([masked, painted])
         n_show = 2 * args.n
+    elif args.sampler:
+        method = getattr(model, f"{args.sampler}_sample", None)
+        if method is None:
+            raise SystemExit(f"--sampler {args.sampler}: "
+                             f"{type(model).__name__} has no "
+                             f"{args.sampler}_sample")
+        steps = args.steps or int(
+            model.hparams.get(f"{args.sampler}_steps")
+            or model.hparams.get("sample_steps"))
+        imgs = jnp.clip(method(state, jax.random.PRNGKey(args.seed),
+                               args.n, steps=steps, **kwargs), -1.0, 1.0)
+        n_show = args.n
     else:
         imgs = model.sample(state, jax.random.PRNGKey(args.seed), args.n,
                             **kwargs)

@@ -102,7 +102,7 @@ def new_families_table() -> str:
     for r in load_jsonl(BENCH / "new_families_round3.jsonl",
                         BENCH / "edm_round3.jsonl",
                         BENCH / "new_families_round4*.jsonl"):
-        if "family" in r:
+        if "family" in r and "error" not in r:
             rows[r["family"]] = r  # later files overwrite earlier
     lines = ["| family | steps/s | imgs/s | GFLOPs/step | TF/s |",
              "|---|---|---|---|---|"]
@@ -119,7 +119,7 @@ def dit_table() -> str:
     rows = {}
     for r in load_jsonl(BENCH / "dit_round3c_fix.jsonl",
                         BENCH / "dit_round4*.jsonl"):
-        if "family" in r:
+        if "family" in r and "error" not in r:
             rows[r["family"]] = r
     lines = ["| backbone | GFLOPs/step | steps/s | TF/s | MFU |",
              "|---|---|---|---|---|"]
