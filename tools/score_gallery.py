@@ -59,12 +59,20 @@ def main() -> None:
         from PIL import Image
         gw, gh = Image.open(grids[-1]).size
         if (gw - 2) % (args.size + 2) or (gh - 2) % (args.size + 2):
-            continue  # non-digit geometry (CIFAR 32x32 / CelebA 64x64)
-        tiles = untile(grids[-1], args.size, args.size)
-        s = score_samples(params, tiles)
-        s["grid"] = Path(grids[-1]).name
-        (fam_dir / "digit_scores.json").write_text(json.dumps(s, indent=1))
-        table[fam_dir.name] = s
+            continue  # other geometry (handled by another --size run)
+        # score EVERY grid (round 4: ddpm_cifar carries DDIM-50 and DPM-20
+        # grids from the same weights — per-grid scores back the
+        # "same quality class" claim with a metric)
+        per_grid = {}
+        for g in grids:
+            s = score_samples(params, untile(g, args.size, args.size))
+            s["grid"] = Path(g).name
+            per_grid[Path(g).name] = s
+        out = dict(per_grid[Path(grids[-1]).name])  # back-compat top level
+        if len(per_grid) > 1:
+            out["grids"] = per_grid
+        (fam_dir / "digit_scores.json").write_text(json.dumps(out, indent=1))
+        table[fam_dir.name] = out
     print(json.dumps(table, indent=1))
 
 
