@@ -67,8 +67,10 @@ def latest_headline() -> dict:
 # ------------------------------------------------------------------ sections
 
 def family_table() -> str:
-    chained = load_rows(BENCH / "results_round3.json")
-    single = load_rows(BENCH / "results_round3_ar_single.json")
+    chained = load_rows(BENCH / "results_round4.json") \
+        or load_rows(BENCH / "results_round3.json")
+    single = load_rows(BENCH / "results_round4_ar_single.json") \
+        or load_rows(BENCH / "results_round3_ar_single.json")
     lines = [
         "| family | batch | steps/s (K=8 chained) | imgs/s | "
         "single-dispatch steps/s | GFLOPs/step | TF/s |",
