@@ -62,3 +62,19 @@ def test_two_process_tensor_parallel_dit():
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["ok"] is True and out["mesh_mode"] == "tensor"
     assert out["losses"][0] == out["losses"][1]
+
+
+def test_two_process_composed_mesh():
+    """Composed 3-D (data, fsdp, model) mesh across 2 processes: Megatron
+    TP over `model`, ZeRO over `fsdp`, DP over `data` in ONE jitted DiT
+    step, with BOTH sharded axes spanning the process boundary (2 procs x
+    4 local devices = (2, 2, 2))."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "multihost_dryrun.py"),
+         "--procs", "2", "--local-devices", "4", "--model-axis", "2",
+         "--fsdp-axis", "2", "--mesh-mode", "tensor"],
+        capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (proc.stdout[-500:], proc.stderr[-1000:])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ok"] is True and out["fsdp_axis"] == 2
+    assert out["losses"][0] == out["losses"][1]

@@ -49,8 +49,11 @@ def child(args) -> None:
     from igm_tpu.parallel import mesh as mesh_lib
 
     # spans ALL processes' devices; --model-axis > 1 builds a 2-D
-    # (data, model) mesh whose FSDP/TP shards cross the PROCESS boundary
-    mesh = mesh_lib.make_mesh(model=args.model_axis)
+    # (data, model) mesh whose FSDP/TP shards cross the PROCESS boundary;
+    # --fsdp-axis > 1 (with model > 1) builds the composed 3-D
+    # (data, fsdp, model) mesh — TP + ZeRO + DP in one step, collectives
+    # crossing processes on BOTH sharded axes
+    mesh = mesh_lib.make_mesh(model=args.model_axis, fsdp=args.fsdp_axis)
     if args.mesh_mode == "tensor":
         # Megatron TP needs a transformer backbone: tiny DiT-DDPM
         from igm_tpu.config import to_node
@@ -80,6 +83,9 @@ def child(args) -> None:
             qkv = state.params["denoise"]["DiTBlock_0"]["qkv"]["kernel"]
             assert mesh_lib.MODEL_AXIS in tuple(qkv.sharding.spec), (
                 "TP vacuous: qkv kernel not sharded over the model axis")
+        if args.fsdp_axis > 1:
+            assert any(mesh_lib.FSDP_AXIS in tuple(s) for s in specs), (
+                "composed mesh vacuous: nothing sharded over the fsdp axis")
 
     step = jax.jit(model.train_step, donate_argnums=0)
     # every process supplies the same GLOBAL batch; device_put scatters the
@@ -104,6 +110,9 @@ def main() -> None:
                     help=">1: 2-D (data, model) mesh — FSDP shards cross the process boundary")
     ap.add_argument("--mesh-mode", default="fsdp", choices=["fsdp", "tensor"],
                     help="model-axis strategy: ZeRO-3 state sharding or Megatron TP (DiT backbone)")
+    ap.add_argument("--fsdp-axis", type=int, default=1,
+                    help=">1 (with --model-axis >1): composed 3-D "
+                         "(data, fsdp, model) mesh — TP + ZeRO + DP")
     ap.add_argument("--process-id", type=int, default=None)  # child marker
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--timeout", type=int, default=900)
@@ -125,6 +134,7 @@ def main() -> None:
          "--local-devices", str(args.local_devices),
          "--process-id", str(i), "--coordinator", coord,
          "--model-axis", str(args.model_axis),
+         "--fsdp-axis", str(args.fsdp_axis),
          "--mesh-mode", args.mesh_mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(args.procs)]
@@ -144,6 +154,7 @@ def main() -> None:
                       "procs": args.procs,
                       "local_devices": args.local_devices,
                       "model_axis": args.model_axis,
+                      "fsdp_axis": args.fsdp_axis,
                       "mesh_mode": args.mesh_mode}))
     sys.exit(0 if ok else 1)
 
