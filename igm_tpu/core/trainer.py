@@ -76,19 +76,37 @@ class Trainer:
         mesh_cfg = mesh or {}
         data_axis = mesh_cfg.get("data", -1) if isinstance(mesh_cfg, dict) else -1
         model_axis = mesh_cfg.get("model", 1) if isinstance(mesh_cfg, dict) else 1
-        # model-axis sharding strategy: "fsdp" (ZeRO-3 state sharding) or
-        # "tensor" (Megatron column/row specs on transformer blocks)
+        # model-axis sharding strategy: "fsdp" (ZeRO-3 state sharding),
+        # "tensor" (Megatron column/row specs on transformer blocks), or
+        # "pipeline" (GPipe stage axis — parallel/pipeline.py; needs
+        # mesh.stage > 1 and a model exposing enable_pipeline, i.e. the
+        # DiT-backboned diffusion families)
         self.mesh_mode = (mesh_cfg.get("mode", "fsdp")
                           if isinstance(mesh_cfg, dict) else "fsdp")
-        if self.mesh_mode not in ("fsdp", "tensor"):
-            raise ValueError(f"mesh.mode must be fsdp|tensor, "
+        stage_axis = (int(mesh_cfg.get("stage", 1))
+                      if isinstance(mesh_cfg, dict) else 1)
+        self.pipe_microbatches = (int(mesh_cfg.get("microbatches", 1))
+                                  if isinstance(mesh_cfg, dict) else 1)
+        if self.mesh_mode not in ("fsdp", "tensor", "pipeline"):
+            raise ValueError(f"mesh.mode must be fsdp|tensor|pipeline, "
                              f"got {self.mesh_mode!r}")
         if (devices not in (None, -1) and int(devices) > 0
                 and data_axis in (-1, None) and int(model_axis or 1) == 1):
             # Lightning `devices: 1` semantics: cap the mesh size.
             data_axis = -1 if int(devices) >= len(jax.devices()) else int(devices)
-        self.mesh = mesh_lib.make_mesh(data=data_axis if data_axis else 1,
-                                       model=model_axis)
+        if self.mesh_mode == "pipeline" or stage_axis > 1:
+            from ..parallel import pipeline as pipe_lib
+            self.mesh_mode = "pipeline"
+            if stage_axis <= 1:
+                raise ValueError("mesh.mode=pipeline needs mesh.stage > 1")
+            n_dev = len(jax.devices())
+            d = (n_dev // stage_axis if data_axis in (-1, None)
+                 else int(data_axis))
+            self.mesh = pipe_lib.make_pipeline_mesh(stage=stage_axis,
+                                                    data=max(1, d))
+        else:
+            self.mesh = mesh_lib.make_mesh(data=data_axis if data_axis else 1,
+                                           model=model_axis)
 
         if self.fast_dev_run:
             self.max_epochs = 1
@@ -104,6 +122,14 @@ class Trainer:
         self.global_step = 0
         self.callback_metrics: Dict[str, float] = {}
         self.ckpt_manager = None
+
+    def _shard_state(self, state, model):
+        """Place the TrainState on the mesh per the configured mode."""
+        if self.mesh_mode == "pipeline":
+            from ..parallel import pipeline as pipe_lib
+            depth = int(getattr(model, "hparams", {}).get("depth", 0))
+            return pipe_lib.shard_pipeline_state(self.mesh, state, depth)
+        return mesh_lib.shard_state(self.mesh, state, mode=self.mesh_mode)
 
     # ------------------------------------------------------------------- data
     def _epoch_batches(self, arrays, batch_size: int, rng: np.random.Generator,
@@ -138,11 +164,19 @@ class Trainer:
         hp["trainer/max_epochs"] = self.max_epochs
         self.logger.log_hyperparams(hp)
 
+        if self.mesh_mode == "pipeline":
+            if not hasattr(model, "enable_pipeline"):
+                raise ValueError(
+                    f"mesh.mode=pipeline needs a model with enable_pipeline "
+                    f"(the DiT-backboned families); {type(model).__name__} "
+                    f"has none")
+            model.enable_pipeline(self.mesh, self.pipe_microbatches)
+
         init_rng = jax.random.PRNGKey(self.seed)
         # jit the init: eager init dispatches hundreds of tiny ops, which is
         # pathological over a remote-device link (axon tunnel)
         state = jax.jit(model.init_state)(init_rng)
-        state = mesh_lib.shard_state(self.mesh, state, mode=self.mesh_mode)
+        state = self._shard_state(state, model)
 
         if self.enable_checkpointing:
             from .checkpoint import CheckpointManager
@@ -152,8 +186,7 @@ class Trainer:
             if self.resume and self.ckpt_manager.latest_step() is not None:
                 state = self.ckpt_manager.restore(state)
                 state = model.on_restore(state)  # param-invariant migrations
-                state = mesh_lib.shard_state(self.mesh, state,
-                                             mode=self.mesh_mode)
+                state = self._shard_state(state, model)
                 log.info("resumed from step %s", int(state.step))
 
         # steps_per_execution > 1: K train steps per device dispatch via

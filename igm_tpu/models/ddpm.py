@@ -25,7 +25,9 @@ from .base import BaseModel
 def build_denoiser(network: str, *, hidden_dim: int, channels: int,
                    dim_mults, dtype, num_classes: int, remat: bool,
                    pallas_gn: bool = False, depth: int = 8, heads: int = 6,
-                   patch: int = 2, attention: str = "auto"):
+                   patch: int = 2, attention: str = "auto",
+                   block_mode: str = "unroll", pipe_mesh=None,
+                   pipe_microbatches: int = 1):
     """Backbone factory shared by the diffusion-style models.
 
     ``network="unet"`` is the parity conv UNet
@@ -41,7 +43,8 @@ def build_denoiser(network: str, *, hidden_dim: int, channels: int,
     if network == "dit":
         return DiT(dim=hidden_dim, depth=depth, heads=heads, patch=patch,
                    channels=channels, num_classes=num_classes, dtype=dtype,
-                   remat=remat, attn=attention)
+                   remat=remat, attn=attention, block_mode=block_mode,
+                   pipe_mesh=pipe_mesh, pipe_microbatches=pipe_microbatches)
     raise ValueError(f"network must be unet|dit, got {network!r}")
 
 
@@ -60,7 +63,8 @@ class DDPM(BaseModel):
                  guidance_scale: float = 2.0, network: str = "unet",
                  depth: int = 8, heads: int = 6, patch: int = 2,
                  parameterization: str = "eps", snr_gamma: float = 0.0,
-                 attention: str = "auto", **kwargs):
+                 attention: str = "auto", block_mode: str = "unroll",
+                 pipe_mesh=None, pipe_microbatches: int = 1, **kwargs):
         super().__init__(datamodule)
         # beyond-parity training knobs (defaults reproduce the reference's
         # eps-prediction / unweighted loss exactly):
@@ -93,7 +97,9 @@ class DDPM(BaseModel):
                                   network=network, depth=depth, heads=heads,
                                   patch=patch,
                                   parameterization=parameterization,
-                                  snr_gamma=snr_gamma, attention=attention)
+                                  snr_gamma=snr_gamma, attention=attention,
+                                  block_mode=block_mode,
+                                  pipe_microbatches=pipe_microbatches)
         self.timesteps = int(timesteps)
         self.tables = gd.make_tables(self.timesteps, beta_schedule)
         # bfloat16 convs on TPU (MXU fast path; params + loss stay f32);
@@ -116,7 +122,23 @@ class DDPM(BaseModel):
                                    remat=bool(remat),
                                    pallas_gn=bool(pallas_gn), depth=depth,
                                    heads=heads, patch=patch,
-                                   attention=attention))
+                                   attention=attention,
+                                   block_mode=block_mode,
+                                   pipe_mesh=pipe_mesh,
+                                   pipe_microbatches=pipe_microbatches))
+
+    def enable_pipeline(self, mesh, microbatches: int = 1) -> None:
+        """Rebuild the denoiser for GPipe pipeline parallelism
+        (parallel/pipeline.py): stacked block layout, stage-sharded apply.
+        Call BEFORE init_state — the param tree switches to the stacked
+        ``blocks`` layout.  Trainer mesh.mode="pipeline" calls this."""
+        if self.hparams.get("network") != "dit":
+            raise ValueError("pipeline parallelism needs network=dit "
+                             f"(got {self.hparams.get('network')!r})")
+        den = self.modules["denoise"]
+        self.modules.modules["denoise"] = den.clone(
+            block_mode="scan", pipe_mesh=mesh,
+            pipe_microbatches=int(microbatches))
 
     # hooks overridden by LatentDDPM (diffusion in a learned latent space)
     @property

@@ -168,6 +168,28 @@ class DiT(nn.Module):
     # (needs token count % 128 == 0; incompatible with Megatron TP — GSPMD
     # cannot partition a pallas_call over the sharded head axis).
     attn: str = "auto"
+    # block parameter layout:
+    # - "unroll" (default): DiTBlock_0..depth-1 subtrees — the layout the
+    #   Megatron TP specs in parallel/mesh.py match on.
+    # - "scan": ONE stacked ``blocks`` param tree ([depth, ...] leaves,
+    #   vmapped init) applied via ``lax.scan`` — identical math, O(1)
+    #   compiled program size in depth, and the layout pipeline parallelism
+    #   shards over the ``stage`` mesh axis.
+    block_mode: str = "unroll"
+    # GPipe pipeline parallelism (parallel/pipeline.py): a Mesh with a
+    # ``stage`` axis routes the (stacked) block stack through
+    # ``gpipe_apply``; requires block_mode="scan".  The mesh is a static
+    # (trace-time) attribute — retraces when the mesh changes, like any
+    # other module hyperparameter.
+    pipe_mesh: Any = None
+    pipe_microbatches: int = 1
+    # sequence parallelism (Megatron-SP composed with TP): a Mesh with a
+    # ``model`` axis pins the TOKEN axis of activations to it between
+    # blocks, so LayerNorm/modulation/elementwise work and activation
+    # memory shard over tokens; GSPMD inserts the all-gather at each qkv /
+    # MLP-up GEMM and the reduce-scatter after proj / MLP-down — exactly
+    # the Megatron-SP collective pattern, derived from ONE constraint.
+    sp_mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, time: jnp.ndarray,
@@ -201,10 +223,13 @@ class DiT(nn.Module):
         if attn == "flash" and (gh * gw) % 128:
             raise ValueError(f"attn=flash needs token count % 128 == 0, "
                              f"got {gh * gw}")
-        Block = nn.remat(DiTBlock) if self.remat else DiTBlock
-        for _ in range(self.depth):
-            tok = Block(self.dim, self.heads, self.mlp_ratio,
-                        dtype=self.dtype, attn=attn)(tok, c)
+        if self.block_mode == "scan" or self.pipe_mesh is not None:
+            tok = self._scan_blocks(tok, c, attn)
+        else:
+            Block = nn.remat(DiTBlock) if self.remat else DiTBlock
+            for _ in range(self.depth):
+                tok = Block(self.dim, self.heads, self.mlp_ratio,
+                            dtype=self.dtype, attn=attn)(tok, c)
 
         # zero-init output head: exact 0 prediction at init
         s_f, g_f = _Modulation(self.dim, 2, dtype=self.dtype)(c)
@@ -216,3 +241,47 @@ class DiT(nn.Module):
         # unpatchify back to NHWC
         out = tok.reshape(b, gh, gw, p, p, cc).transpose(0, 1, 3, 2, 4, 5)
         return out.reshape(b, hh, ww, cc)
+
+    def _scan_blocks(self, tok: jnp.ndarray, c: jnp.ndarray,
+                     attn: str) -> jnp.ndarray:
+        """Stacked-parameter block stack: one ``blocks`` param tree with
+        ``[depth, ...]`` leaves (vmapped per-block init, so each block draws
+        its own init stream like the unrolled layout), applied either as a
+        sequential ``lax.scan`` or — when ``pipe_mesh`` carries a ``stage``
+        axis — through the GPipe schedule in parallel/pipeline.py."""
+        blk = DiTBlock(self.dim, self.heads, self.mlp_ratio,
+                       dtype=self.dtype, attn=attn)
+        tok_shape, c_shape = tok.shape, c.shape
+
+        def init_stacked(rng):
+            td = jnp.zeros((1,) + tok_shape[1:], jnp.float32)
+            cd = jnp.zeros((1,) + c_shape[1:], jnp.float32)
+            def one(r):
+                return blk.init(r, td, cd)["params"]
+            return jax.vmap(one)(jax.random.split(rng, self.depth))
+
+        params = self.param("blocks", init_stacked)
+
+        def block_apply(p, x, cc):
+            return blk.apply({"params": p}, x, cc)
+        if self.remat:
+            block_apply = jax.checkpoint(block_apply)
+
+        if self.pipe_mesh is not None and not self.is_initializing():
+            from ..parallel.pipeline import (DATA_AXIS, STAGE_AXIS,
+                                             gpipe_apply)
+            if STAGE_AXIS not in self.pipe_mesh.axis_names:
+                raise ValueError("pipe_mesh needs a 'stage' axis")
+            n_data = int(self.pipe_mesh.shape.get(DATA_AXIS, 1))
+            # the GPipe schedule needs B % (data * microbatches) == 0; other
+            # batch shapes (tiny init/eval probes) take the sequential scan —
+            # the MATH is identical either way, only the device schedule
+            # changes (equality-tested in tests/test_pipeline.py)
+            if tok.shape[0] % (n_data * self.pipe_microbatches) == 0:
+                return gpipe_apply(block_apply, params, tok, c,
+                                   self.pipe_mesh, self.pipe_microbatches)
+
+        def body(x, p):
+            return block_apply(p, x, c), None
+        tok, _ = jax.lax.scan(body, tok, params)
+        return tok
