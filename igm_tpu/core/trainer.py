@@ -87,6 +87,10 @@ class Trainer:
                       if isinstance(mesh_cfg, dict) else 1)
         self.pipe_microbatches = (int(mesh_cfg.get("microbatches", 1))
                                   if isinstance(mesh_cfg, dict) else 1)
+        # mesh.sequence=true: Megatron-SP token-axis activation sharding on
+        # the model axis (composes with mode="tensor" on the same mesh)
+        self.seq_parallel = (bool(mesh_cfg.get("sequence", False))
+                             if isinstance(mesh_cfg, dict) else False)
         if self.mesh_mode not in ("fsdp", "tensor", "pipeline"):
             raise ValueError(f"mesh.mode must be fsdp|tensor|pipeline, "
                              f"got {self.mesh_mode!r}")
@@ -171,6 +175,13 @@ class Trainer:
                     f"(the DiT-backboned families); {type(model).__name__} "
                     f"has none")
             model.enable_pipeline(self.mesh, self.pipe_microbatches)
+        if self.seq_parallel:
+            if not hasattr(model, "enable_sequence_parallel"):
+                raise ValueError(
+                    f"mesh.sequence=true needs a model with "
+                    f"enable_sequence_parallel; {type(model).__name__} "
+                    f"has none")
+            model.enable_sequence_parallel(self.mesh)
 
         init_rng = jax.random.PRNGKey(self.seed)
         # jit the init: eager init dispatches hundreds of tiny ops, which is

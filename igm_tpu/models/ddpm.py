@@ -27,7 +27,9 @@ def build_denoiser(network: str, *, hidden_dim: int, channels: int,
                    pallas_gn: bool = False, depth: int = 8, heads: int = 6,
                    patch: int = 2, attention: str = "auto",
                    block_mode: str = "unroll", pipe_mesh=None,
-                   pipe_microbatches: int = 1):
+                   pipe_microbatches: int = 1, sp_mesh=None,
+                   moe_experts: int = 0, moe_every: int = 2,
+                   moe_capacity: float = 1.25):
     """Backbone factory shared by the diffusion-style models.
 
     ``network="unet"`` is the parity conv UNet
@@ -44,7 +46,9 @@ def build_denoiser(network: str, *, hidden_dim: int, channels: int,
         return DiT(dim=hidden_dim, depth=depth, heads=heads, patch=patch,
                    channels=channels, num_classes=num_classes, dtype=dtype,
                    remat=remat, attn=attention, block_mode=block_mode,
-                   pipe_mesh=pipe_mesh, pipe_microbatches=pipe_microbatches)
+                   pipe_mesh=pipe_mesh, pipe_microbatches=pipe_microbatches,
+                   sp_mesh=sp_mesh, moe_experts=moe_experts,
+                   moe_every=moe_every, moe_capacity=moe_capacity)
     raise ValueError(f"network must be unet|dit, got {network!r}")
 
 
@@ -64,7 +68,10 @@ class DDPM(BaseModel):
                  depth: int = 8, heads: int = 6, patch: int = 2,
                  parameterization: str = "eps", snr_gamma: float = 0.0,
                  attention: str = "auto", block_mode: str = "unroll",
-                 pipe_mesh=None, pipe_microbatches: int = 1, **kwargs):
+                 pipe_mesh=None, pipe_microbatches: int = 1, sp_mesh=None,
+                 moe_experts: int = 0, moe_every: int = 2,
+                 moe_capacity: float = 1.25, moe_aux_weight: float = 0.01,
+                 **kwargs):
         super().__init__(datamodule)
         # beyond-parity training knobs (defaults reproduce the reference's
         # eps-prediction / unweighted loss exactly):
@@ -99,7 +106,9 @@ class DDPM(BaseModel):
                                   parameterization=parameterization,
                                   snr_gamma=snr_gamma, attention=attention,
                                   block_mode=block_mode,
-                                  pipe_microbatches=pipe_microbatches)
+                                  pipe_microbatches=pipe_microbatches,
+                                  moe_experts=int(moe_experts),
+                                  moe_aux_weight=float(moe_aux_weight))
         self.timesteps = int(timesteps)
         self.tables = gd.make_tables(self.timesteps, beta_schedule)
         # bfloat16 convs on TPU (MXU fast path; params + loss stay f32);
@@ -125,7 +134,23 @@ class DDPM(BaseModel):
                                    attention=attention,
                                    block_mode=block_mode,
                                    pipe_mesh=pipe_mesh,
-                                   pipe_microbatches=pipe_microbatches))
+                                   pipe_microbatches=pipe_microbatches,
+                                   sp_mesh=sp_mesh,
+                                   moe_experts=int(moe_experts),
+                                   moe_every=int(moe_every),
+                                   moe_capacity=float(moe_capacity)))
+
+    def enable_sequence_parallel(self, mesh) -> None:
+        """Rebuild the denoiser with the Megatron-SP token-axis constraint
+        (networks/dit.py ``sp_mesh``).  Composes with mode="tensor" state
+        sharding on the same (data, model) mesh — TP splits the GEMMs, SP
+        shards the between-GEMM activations over tokens.  Trainer
+        mesh.sequence=true calls this."""
+        if self.hparams.get("network") != "dit":
+            raise ValueError("sequence parallelism needs network=dit "
+                             f"(got {self.hparams.get('network')!r})")
+        den = self.modules["denoise"]
+        self.modules.modules["denoise"] = den.clone(sp_mesh=mesh)
 
     def enable_pipeline(self, mesh, microbatches: int = 1) -> None:
         """Rebuild the denoiser for GPipe pipeline parallelism
@@ -211,7 +236,17 @@ class DDPM(BaseModel):
                 loss = (w * (target - pred) ** 2).mean()
             else:
                 raise NotImplementedError(self.hparams.loss_type)
-            return loss, {"metrics": {"train_loss/loss": loss},
+            metrics = {"train_loss/loss": loss}
+            if self.hparams.get("moe_experts", 0) and "moe" in mut:
+                # Switch load-balance loss, mean over the MoE blocks
+                # (networks/moe.py; sowed per block into the "moe"
+                # collection with a replace-reduce)
+                auxes = jax.tree_util.tree_leaves(mut["moe"])
+                aux = sum(auxes) / max(1, len(auxes))
+                loss = loss + float(self.hparams.moe_aux_weight) * aux
+                metrics["train_loss/moe_aux"] = aux
+                metrics["train_loss/loss"] = loss
+            return loss, {"metrics": metrics,
                           "mutables": {**state.mutables, "denoise": mut}}
 
         state, _, aux = self.optimizers.grad_step(state, "opt", loss_fn)

@@ -95,6 +95,12 @@ class DiTBlock(nn.Module):
     # 9th kernel-vs-XLA decision: XLA stays the default; flash remains the
     # right tool only when token counts grow into the memory-bound regime.
     attn: str = "xla"
+    # moe_experts > 0 swaps the dense MLP branch for a Switch-style sparse
+    # MoE (networks/moe.py) — the expert-parallel scaling axis.  The
+    # load-balance aux loss is sowed into the "moe" collection (picked up
+    # by DDPM.train_step when the collection is mutable).
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -139,11 +145,23 @@ class DiTBlock(nn.Module):
             o.astype(self.dtype or jnp.float32).reshape(b, n, d))
         x = x + gate_a * o
 
-        # --- MLP branch ---
+        # --- MLP branch (dense, or Switch-MoE when moe_experts > 0) ---
         m = _layernorm_f32(x) * (1.0 + g_m) + s_m
-        m = nn.Dense(self.mlp_ratio * d, dtype=self.dtype)(m)
-        m = nn.gelu(m, approximate=True)
-        m = nn.Dense(d, dtype=self.dtype)(m)
+        if self.moe_experts:
+            from .moe import SwitchMoE
+            m, aux = SwitchMoE(dim=d, hidden=self.mlp_ratio * d,
+                               experts=self.moe_experts,
+                               capacity_factor=self.moe_capacity,
+                               dtype=self.dtype, name="moe")(m)
+            # replace-reduce keeps the stored aux a scalar (the default
+            # tuple-append would grow the pytree across steps)
+            self.sow("moe", "aux", aux,
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=lambda prev, cur: cur)
+        else:
+            m = nn.Dense(self.mlp_ratio * d, dtype=self.dtype)(m)
+            m = nn.gelu(m, approximate=True)
+            m = nn.Dense(d, dtype=self.dtype)(m)
         return x + gate_m * m
 
 
@@ -183,6 +201,12 @@ class DiT(nn.Module):
     # other module hyperparameter.
     pipe_mesh: Any = None
     pipe_microbatches: int = 1
+    # Switch-MoE MLPs in every ``moe_every``-th block (0 experts = dense).
+    # Expert weights are stacked [E, ...] leaves; parallel/mesh.py shards
+    # the E axis over ``model`` in mode="tensor" (expert parallelism).
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity: float = 1.25
     # sequence parallelism (Megatron-SP composed with TP): a Mesh with a
     # ``model`` axis pins the TOKEN axis of activations to it between
     # blocks, so LayerNorm/modulation/elementwise work and activation
@@ -223,13 +247,22 @@ class DiT(nn.Module):
         if attn == "flash" and (gh * gw) % 128:
             raise ValueError(f"attn=flash needs token count % 128 == 0, "
                              f"got {gh * gw}")
+        tok = self._sp_constrain(tok)
         if self.block_mode == "scan" or self.pipe_mesh is not None:
+            if self.moe_experts:
+                raise ValueError("moe_experts needs the unrolled block "
+                                 "layout (block_mode='unroll')")
             tok = self._scan_blocks(tok, c, attn)
         else:
             Block = nn.remat(DiTBlock) if self.remat else DiTBlock
-            for _ in range(self.depth):
+            for i in range(self.depth):
+                moe = (self.moe_experts if self.moe_experts and
+                       (i % max(1, self.moe_every) == self.moe_every - 1)
+                       else 0)
                 tok = Block(self.dim, self.heads, self.mlp_ratio,
-                            dtype=self.dtype, attn=attn)(tok, c)
+                            dtype=self.dtype, attn=attn, moe_experts=moe,
+                            moe_capacity=self.moe_capacity)(tok, c)
+                tok = self._sp_constrain(tok)
 
         # zero-init output head: exact 0 prediction at init
         s_f, g_f = _Modulation(self.dim, 2, dtype=self.dtype)(c)
@@ -241,6 +274,25 @@ class DiT(nn.Module):
         # unpatchify back to NHWC
         out = tok.reshape(b, gh, gw, p, p, cc).transpose(0, 1, 3, 2, 4, 5)
         return out.reshape(b, hh, ww, cc)
+
+    def _sp_constrain(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Megatron-SP activation constraint: token axis over ``model``.
+
+        One annotation per block boundary is all GSPMD needs — it derives
+        the all-gather before each qkv/MLP-up GEMM and turns the TP
+        all-reduces after proj/MLP-down into reduce-scatters (the compiled
+        program's reduce-scatter presence is asserted in tests)."""
+        if self.sp_mesh is None or self.is_initializing():
+            return x
+        if self.pipe_mesh is not None:
+            raise ValueError("sp_mesh and pipe_mesh are mutually exclusive")
+        from jax.sharding import NamedSharding, PartitionSpec
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+        if MODEL_AXIS not in self.sp_mesh.axis_names:
+            raise ValueError("sp_mesh needs a 'model' axis")
+        data = DATA_AXIS if DATA_AXIS in self.sp_mesh.axis_names else None
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.sp_mesh, PartitionSpec(data, MODEL_AXIS)))
 
     def _scan_blocks(self, tok: jnp.ndarray, c: jnp.ndarray,
                      attn: str) -> jnp.ndarray:
@@ -282,6 +334,6 @@ class DiT(nn.Module):
                                    self.pipe_mesh, self.pipe_microbatches)
 
         def body(x, p):
-            return block_apply(p, x, c), None
+            return self._sp_constrain(block_apply(p, x, c)), None
         tok, _ = jax.lax.scan(body, tok, params)
         return tok

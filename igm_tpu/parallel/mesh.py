@@ -167,6 +167,17 @@ def _tp_spec(mesh: Mesh, path, x) -> Optional[P]:
     m = mesh.shape[MODEL_AXIS]
     shape = getattr(x, "shape", ())
     leaf, parent = names[-1], names[-2]
+    if "moe" in names:
+        # EXPERT parallelism: Switch-MoE stacked weights [E, ...] shard
+        # their expert axis over ``model`` (networks/moe.py); GSPMD derives
+        # the dispatch/combine collectives from the einsum shardings.  The
+        # router stays replicated (every token scores every expert).
+        if leaf in ("w_up", "w_dn", "b_up", "b_dn") and shape and \
+                shape[0] % m == 0:
+            spec = [None] * len(shape)
+            spec[0] = MODEL_AXIS
+            return P(*spec)
+        return P()
     col, row = parent in _TP_COLUMN, parent in _TP_ROW
     if not (col or row):
         return None

@@ -306,3 +306,73 @@ def test_mesh_sharded_sampling_matches_single_device():
     assert "data" in str(out.sharding.spec)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(jax.device_get(out)),
                                atol=2e-4)
+
+
+def _tiny_dit_ddpm_sp(mesh):
+    from igm_tpu.config import to_node
+    from igm_tpu.models.ddpm import DDPM
+
+    dm = to_node({"width": 16, "height": 16, "channels": 1,
+                  "transforms": {"convert": True, "normalize": True}})
+    model = DDPM(datamodule=dm, hidden_dim=32, timesteps=8, network="dit",
+                 depth=2, heads=2, patch=4, loss_type="l2",
+                 compute_dtype="float32", sp_mesh=mesh)
+    model.steps_per_epoch = 10
+    return model
+
+
+def test_sequence_parallel_matches_and_scatters():
+    """Megatron-SP (networks/dit.py sp_mesh): the token-axis activation
+    constraint composed with TP state sharding (a) keeps the training step
+    numerically identical to single-device, and (b) actually changes the
+    compiled collectives: TP block all-reduces are replaced by gather/
+    scatter pairs at the GEMM boundaries (XLA:CPU lowers the scatter side
+    without a literal reduce-scatter op, so the asserted signature is the
+    all-gather/all-reduce mix shift vs the TP-only program — measured
+    282 AR / 38 AG (TP) -> 92 AR / 221 AG (TP+SP) at this shape)."""
+    import re
+    from igm_tpu.parallel import mesh as mesh_lib
+
+    base = _tiny_dit_ddpm()
+    state = jax.jit(base.init_state)(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = (rng.randint(0, 255, size=(8, 16, 16, 1), dtype=np.uint8),
+             np.zeros((8,), np.int32))
+
+    s1 = jax.device_put(state, jax.devices()[0])
+    _, m1 = jax.jit(base.train_step)(s1, jax.device_put(batch, jax.devices()[0]))
+
+    mesh = mesh_lib.make_mesh(data=2, model=4)
+    sp = _tiny_dit_ddpm_sp(mesh)
+    # init on the SP model wires its optimizer set; the param tree (and
+    # values, same seed) is identical — sp only adds a layout constraint
+    sp_state = jax.jit(sp.init_state)(jax.random.PRNGKey(0))
+    st = mesh_lib.shard_state(mesh, sp_state, mode="tensor")
+    step = jax.jit(sp.train_step)
+    hlo_sp = step.lower(st, mesh_lib.shard_batch(mesh, batch)).compile().as_text()
+    st_tp = mesh_lib.shard_state(mesh, state, mode="tensor")
+    hlo_tp = jax.jit(base.train_step).lower(
+        st_tp, mesh_lib.shard_batch(mesh, batch)).compile().as_text()
+
+    def count(hlo, op):
+        return len(re.findall(op, hlo))
+    assert count(hlo_sp, "all-gather") > 2 * count(hlo_tp, "all-gather"), \
+        "SP signature missing: no extra gather at GEMM boundaries"
+    assert count(hlo_sp, "all-reduce") < count(hlo_tp, "all-reduce"), \
+        "SP signature missing: TP all-reduces not replaced"
+    _, msp = step(st, mesh_lib.shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(m1["train_loss/loss"]),
+                               float(msp["train_loss/loss"]), rtol=1e-5)
+
+
+def test_sp_mesh_requires_model_axis():
+    from igm_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()  # 1-D data mesh, no model axis
+    sp = _tiny_dit_ddpm_sp(mesh)
+    state = jax.jit(sp.init_state)(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = (rng.randint(0, 255, size=(8, 16, 16, 1), dtype=np.uint8),
+             np.zeros((8,), np.int32))
+    with pytest.raises(ValueError, match="model"):
+        jax.jit(sp.train_step)(state, batch)
