@@ -44,6 +44,19 @@ CASES = [
     ("dit_1280x16", "ddpm/cifar10_dit",
      ["model.hidden_dim=1280", "model.depth=16", "model.heads=16"]),
     ("flow_dit_384x8", "flow/cifar10_dit", []),
+    # round-4 Switch-MoE rows (networks/moe.py): same 768x12 trunk, E=8
+    # experts on every 2nd MLP — measures the sparse-MLP overhead (router +
+    # dispatch) at the single-chip scale, and A/Bs the two dispatch
+    # algorithms (einsum one-hot matmuls vs unique-slot scatter/gather;
+    # b256 x 256 tokens = 65k tokens >> width, the scatter regime)
+    ("dit_moe8_768x12_scatter", "ddpm/cifar10_dit",
+     ["model.hidden_dim=768", "model.depth=12", "model.heads=12",
+      "+model.moe_experts=8", "+model.moe_every=2",
+      "+model.moe_dispatch=scatter"]),
+    ("dit_moe8_768x12_einsum", "ddpm/cifar10_dit",
+     ["model.hidden_dim=768", "model.depth=12", "model.heads=12",
+      "+model.moe_experts=8", "+model.moe_every=2",
+      "+model.moe_dispatch=einsum"]),
 ]
 
 

@@ -29,7 +29,7 @@ def build_denoiser(network: str, *, hidden_dim: int, channels: int,
                    block_mode: str = "unroll", pipe_mesh=None,
                    pipe_microbatches: int = 1, sp_mesh=None,
                    moe_experts: int = 0, moe_every: int = 2,
-                   moe_capacity: float = 1.25):
+                   moe_capacity: float = 1.25, moe_dispatch: str = "auto"):
     """Backbone factory shared by the diffusion-style models.
 
     ``network="unet"`` is the parity conv UNet
@@ -48,7 +48,8 @@ def build_denoiser(network: str, *, hidden_dim: int, channels: int,
                    remat=remat, attn=attention, block_mode=block_mode,
                    pipe_mesh=pipe_mesh, pipe_microbatches=pipe_microbatches,
                    sp_mesh=sp_mesh, moe_experts=moe_experts,
-                   moe_every=moe_every, moe_capacity=moe_capacity)
+                   moe_every=moe_every, moe_capacity=moe_capacity,
+                   moe_dispatch=moe_dispatch)
     raise ValueError(f"network must be unet|dit, got {network!r}")
 
 
@@ -71,7 +72,7 @@ class DDPM(BaseModel):
                  pipe_mesh=None, pipe_microbatches: int = 1, sp_mesh=None,
                  moe_experts: int = 0, moe_every: int = 2,
                  moe_capacity: float = 1.25, moe_aux_weight: float = 0.01,
-                 **kwargs):
+                 moe_dispatch: str = "auto", **kwargs):
         super().__init__(datamodule)
         # beyond-parity training knobs (defaults reproduce the reference's
         # eps-prediction / unweighted loss exactly):
@@ -138,7 +139,8 @@ class DDPM(BaseModel):
                                    sp_mesh=sp_mesh,
                                    moe_experts=int(moe_experts),
                                    moe_every=int(moe_every),
-                                   moe_capacity=float(moe_capacity)))
+                                   moe_capacity=float(moe_capacity),
+                                   moe_dispatch=str(moe_dispatch)))
 
     def enable_sequence_parallel(self, mesh) -> None:
         """Rebuild the denoiser with the Megatron-SP token-axis constraint

@@ -101,6 +101,7 @@ class DiTBlock(nn.Module):
     # by DDPM.train_step when the collection is mutable).
     moe_experts: int = 0
     moe_capacity: float = 1.25
+    moe_dispatch: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -152,6 +153,7 @@ class DiTBlock(nn.Module):
             m, aux = SwitchMoE(dim=d, hidden=self.mlp_ratio * d,
                                experts=self.moe_experts,
                                capacity_factor=self.moe_capacity,
+                               dispatch=self.moe_dispatch,
                                dtype=self.dtype, name="moe")(m)
             # replace-reduce keeps the stored aux a scalar (the default
             # tuple-append would grow the pytree across steps)
@@ -207,6 +209,7 @@ class DiT(nn.Module):
     moe_experts: int = 0
     moe_every: int = 2
     moe_capacity: float = 1.25
+    moe_dispatch: str = "auto"
     # sequence parallelism (Megatron-SP composed with TP): a Mesh with a
     # ``model`` axis pins the TOKEN axis of activations to it between
     # blocks, so LayerNorm/modulation/elementwise work and activation
@@ -261,7 +264,8 @@ class DiT(nn.Module):
                        else 0)
                 tok = Block(self.dim, self.heads, self.mlp_ratio,
                             dtype=self.dtype, attn=attn, moe_experts=moe,
-                            moe_capacity=self.moe_capacity)(tok, c)
+                            moe_capacity=self.moe_capacity,
+                            moe_dispatch=self.moe_dispatch)(tok, c)
                 tok = self._sp_constrain(tok)
 
         # zero-init output head: exact 0 prediction at init

@@ -37,6 +37,21 @@ class SwitchMoE(nn.Module):
     experts: int
     capacity_factor: float = 1.25
     dtype: Any = None
+    # dispatch algorithm:
+    # - "einsum": one-hot [n, e, cap] dispatch/combine matmuls — the
+    #   classic Switch/GLaM TPU form; costs O(n·e·cap·d) ≈ O(n²·d·cf) FLOPs,
+    #   fine when tokens ~ width, ruinous when n >> d.  MEASURED at the
+    #   DiT-768 trunk (b256 -> n=65k tokens, E=8): the one-hot dispatch
+    #   tensor alone is n·e·cap ≈ 5.4G cells — does not even COMPILE on
+    #   the v5e (remote-compile 500, benchmarks/dit_moe_round4.jsonl).
+    # - "scatter": unique-slot scatter into the [e·cap, d] expert buffer +
+    #   gather-combine; O(n·d) data movement, no quadratic matmul.  Slots
+    #   are unique by construction (cumsum position within expert), so the
+    #   two modes are bit-identical (tests/test_moe.py).  MEASURED: the
+    #   full MoE-DiT 768x12/E=8 step runs at 1.86 steps/s, MFU 0.43.
+    # - "auto": scatter when n > 4·d (where the dispatch matmuls would
+    #   exceed the expert compute), einsum otherwise.
+    dispatch: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple:
@@ -59,9 +74,8 @@ class SwitchMoE(nn.Module):
         # residual path
         pos = jnp.cumsum(onehot, axis=0) * onehot - onehot
         keep = (pos < cap).astype(jnp.float32) * onehot
-        slot = jax.nn.one_hot(jnp.sum(pos * onehot, axis=-1).astype(jnp.int32),
-                              cap, dtype=jnp.float32)         # [n, cap]
-        dispatch = keep[:, :, None] * slot[:, None, :]        # [n, e, cap]
+        pos_i = jnp.sum(pos * onehot, axis=-1).astype(jnp.int32)  # [n]
+        kept = jnp.sum(keep, axis=-1)                             # [n] 0/1
 
         # stacked expert weights: [E, ...] leading axis is the EP shard axis
         w_up = self.param("w_up", nn.initializers.lecun_normal(),
@@ -73,15 +87,35 @@ class SwitchMoE(nn.Module):
         b_dn = self.param("b_dn", nn.initializers.zeros, (e, d), jnp.float32)
 
         cdt = self.dtype or jnp.float32
-        buf = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt), xf.astype(cdt))
+        mode = self.dispatch
+        if mode == "auto":
+            mode = "scatter" if n > 4 * d else "einsum"
+
+        if mode == "scatter":
+            # unique slot per kept token; dropped tokens land on a dump row
+            slot_i = jnp.where(kept > 0, idx * cap + pos_i, e * cap)
+            buf = jnp.zeros((e * cap + 1, d), cdt)
+            buf = buf.at[slot_i].add(xf.astype(cdt))          # collision-free
+            buf = buf[:e * cap].reshape(e, cap, d)
+        else:
+            slot = jax.nn.one_hot(pos_i, cap, dtype=jnp.float32)  # [n, cap]
+            dispatch = keep[:, :, None] * slot[:, None, :]        # [n,e,cap]
+            buf = jnp.einsum("nec,nd->ecd", dispatch.astype(cdt),
+                             xf.astype(cdt))
+
         h = jnp.einsum("ecd,edh->ech", buf, w_up.astype(cdt)) + \
             b_up[:, None, :].astype(cdt)
         h = nn.gelu(h, approximate=True)
         out_e = jnp.einsum("ech,ehd->ecd", h, w_dn.astype(cdt)) + \
             b_dn[:, None, :].astype(cdt)
 
-        combine = dispatch * gate[:, None, None]              # [n, e, cap]
-        out = jnp.einsum("nec,ecd->nd", combine.astype(cdt), out_e)
+        if mode == "scatter":
+            flat = out_e.reshape(e * cap, d)
+            picked = jnp.take(flat, jnp.minimum(slot_i, e * cap - 1), axis=0)
+            out = picked * (gate * kept)[:, None].astype(cdt)
+        else:
+            combine = dispatch * gate[:, None, None]          # [n, e, cap]
+            out = jnp.einsum("nec,ecd->nd", combine.astype(cdt), out_e)
 
         # Switch load-balance loss: e * sum_e (fraction routed to e) *
         # (mean router prob of e); == 1 at perfect balance

@@ -153,3 +153,37 @@ def test_moe_rejects_scan_layout():
     t = jnp.zeros((2,))
     with pytest.raises(ValueError, match="unroll"):
         dit.init(jax.random.PRNGKey(0), x, t)
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 8), (1, 64, 4)])
+def test_scatter_dispatch_equals_einsum(shape):
+    """The two dispatch algorithms are the SAME function: every (expert,
+    slot) cell receives at most one token (slots are unique by the cumsum
+    construction), so no reduction-order differences exist — outputs and
+    grads match bitwise-close."""
+    b, t, d = shape
+    for e, cf in [(2, 1.25), (4, 0.5)]:
+        ein = SwitchMoE(dim=d, hidden=2 * d, experts=e, capacity_factor=cf,
+                        dispatch="einsum")
+        sca = SwitchMoE(dim=d, hidden=2 * d, experts=e, capacity_factor=cf,
+                        dispatch="scatter")
+        x = jnp.asarray(np.random.RandomState(b * e).randn(b, t, d),
+                        jnp.float32)
+        params = ein.init(jax.random.PRNGKey(0), x)["params"]
+        out_e, aux_e = ein.apply({"params": params}, x)
+        out_s, aux_s = sca.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_e),
+                                   rtol=1e-6, atol=1e-6)
+        assert float(aux_e) == float(aux_s)
+
+        def loss(mod):
+            def f(p):
+                o, a = mod.apply({"params": p}, x)
+                return jnp.mean(o ** 2) + 0.01 * a
+            return f
+        g_e = jax.grad(loss(ein))(params)
+        g_s = jax.grad(loss(sca))(params)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g_e),
+                         jax.tree_util.tree_leaves(g_s)):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)

@@ -78,3 +78,17 @@ def test_two_process_composed_mesh():
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["ok"] is True and out["fsdp_axis"] == 2
     assert out["losses"][0] == out["losses"][1]
+
+
+def test_two_process_pipeline():
+    """GPipe across 2 processes: 4 pipeline stages straddle the process
+    boundary, so the lax.ppermute activation hand-off between stages 1<->2
+    rides the cross-process transport (parallel/pipeline.py)."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "multihost_dryrun.py"),
+         "--procs", "2", "--local-devices", "2", "--stage-axis", "4"],
+        capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (proc.stdout[-500:], proc.stderr[-1000:])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ok"] is True and out["stage_axis"] == 4
+    assert out["losses"][0] == out["losses"][1]

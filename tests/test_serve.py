@@ -1,0 +1,100 @@
+"""HTTP serving endpoint over an exported sampler (tools/serve.py).
+
+The artifact is exported once (subprocess, like tests/test_export.py), then
+the server runs IN-PROCESS and real HTTP requests exercise /healthz,
+/sample (npy + png) and /stats.  The reference has no deployment path at
+all (`src/callbacks/visualization.py` is sampling's only consumer there).
+"""
+import io
+import json
+import os
+import subprocess
+import sys
+import threading
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    art = tmp_path_factory.mktemp("serve") / "vae.jaxexport"
+    env = dict(os.environ)
+    env.update(IGM_PLATFORM="cpu", IGM_SYNTHETIC_DATA="1",
+               JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export.py"),
+         "experiment=vae/mnist_mlp", "--n", "4", "--platforms", "cpu",
+         "--out", str(art)],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return art
+
+
+@pytest.fixture(scope="module")
+def server(artifact):
+    from tools.serve import serve
+    httpd = serve(str(artifact), "127.0.0.1", 0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=json.dumps(body).encode(),
+                                 headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req)
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        assert r.status == 200
+        h = json.loads(r.read())
+    assert h["ok"] and h["n"] == 4
+
+
+def test_sample_npy_deterministic_per_seed(server):
+    with _post(server + "/sample", {"seed": 7}) as r:
+        assert r.status == 200
+        a = np.load(io.BytesIO(r.read()))
+    with _post(server + "/sample", {"seed": 7}) as r:
+        b = np.load(io.BytesIO(r.read()))
+    with _post(server + "/sample", {"seed": 8}) as r:
+        c = np.load(io.BytesIO(r.read()))
+    assert a.shape[0] == 4 and a.ndim == 4 and np.isfinite(a).all()
+    np.testing.assert_array_equal(a, b)   # same seed -> same batch
+    assert not np.allclose(a, c)          # sampler consumes the key
+
+
+def test_sample_png(server):
+    with _post(server + "/sample", {"seed": 1, "format": "png"}) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "image/png"
+        data = r.read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_stats_and_unknown_route(server):
+    with urllib.request.urlopen(server + "/stats") as r:
+        s = json.loads(r.read())
+    assert s["requests"] >= 4 and s["p50_ms"] > 0
+    assert s["batch_per_request"] == 4 and s["samples_per_sec"] > 0
+    try:
+        urllib.request.urlopen(server + "/nope")
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_bench_helper(artifact):
+    from tools.serve import bench
+    stats = bench(str(artifact), 3)
+    assert stats["requests"] == 3 and stats["http_requests_per_sec"] > 0

@@ -53,6 +53,43 @@ def child(args) -> None:
     # --fsdp-axis > 1 (with model > 1) builds the composed 3-D
     # (data, fsdp, model) mesh — TP + ZeRO + DP in one step, collectives
     # crossing processes on BOTH sharded axes
+    if args.stage_axis > 1:
+        # GPipe pipeline mesh: the block stack shards over ``stage`` and the
+        # lax.ppermute activation hand-off CROSSES the process boundary
+        # (stages straddle the two processes)
+        from igm_tpu.config import to_node
+        from igm_tpu.models.ddpm import DDPM
+        from igm_tpu.parallel import pipeline as pipe_lib
+
+        mesh = pipe_lib.make_pipeline_mesh(
+            stage=args.stage_axis, data=n_global // args.stage_axis)
+        dm_cfg = to_node({"width": 16, "height": 16, "channels": 3,
+                          "transforms": {"convert": True, "normalize": True}})
+        model = DDPM(datamodule=dm_cfg, hidden_dim=32, timesteps=4,
+                     network="dit", depth=args.stage_axis, heads=2, patch=4,
+                     loss_type="l2", compute_dtype="float32",
+                     block_mode="scan", pipe_mesh=mesh, pipe_microbatches=2)
+        model.steps_per_epoch = 100
+        shapes = jax.eval_shape(model.init_state, jax.random.PRNGKey(0))
+        state = jax.jit(model.init_state,
+                        out_shardings=pipe_lib.pipeline_state_sharding(
+                            mesh, shapes, depth=args.stage_axis))(
+            jax.random.PRNGKey(0))
+        qkv = state.params["denoise"]["blocks"]["qkv"]["kernel"]
+        assert pipe_lib.STAGE_AXIS in tuple(qkv.sharding.spec), (
+            "pipeline dryrun vacuous: blocks not sharded over stage")
+        step = jax.jit(model.train_step, donate_argnums=0)
+        batch = (np.zeros((2 * n_global, 16, 16, 3), np.uint8),
+                 np.zeros((2 * n_global,), np.int32))
+        state, metrics = step(state, mesh_lib.shard_batch(mesh, batch))
+        jax.block_until_ready(state.params)
+        loss = float(jax.device_get(metrics["train_loss/loss"]))
+        print(json.dumps({"process_id": args.process_id, "loss": loss,
+                          "process_count": jax.process_count(),
+                          "global_devices": n_global}), flush=True)
+        jax.distributed.shutdown()
+        return
+
     mesh = mesh_lib.make_mesh(model=args.model_axis, fsdp=args.fsdp_axis)
     if args.mesh_mode == "tensor":
         # Megatron TP needs a transformer backbone: tiny DiT-DDPM
@@ -113,6 +150,9 @@ def main() -> None:
     ap.add_argument("--fsdp-axis", type=int, default=1,
                     help=">1 (with --model-axis >1): composed 3-D "
                          "(data, fsdp, model) mesh — TP + ZeRO + DP")
+    ap.add_argument("--stage-axis", type=int, default=1,
+                    help=">1: GPipe pipeline mesh (data, stage) — the "
+                         "ppermute activation hop crosses processes")
     ap.add_argument("--process-id", type=int, default=None)  # child marker
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--timeout", type=int, default=900)
@@ -135,6 +175,7 @@ def main() -> None:
          "--process-id", str(i), "--coordinator", coord,
          "--model-axis", str(args.model_axis),
          "--fsdp-axis", str(args.fsdp_axis),
+         "--stage-axis", str(args.stage_axis),
          "--mesh-mode", args.mesh_mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for i in range(args.procs)]
@@ -155,6 +196,7 @@ def main() -> None:
                       "local_devices": args.local_devices,
                       "model_axis": args.model_axis,
                       "fsdp_axis": args.fsdp_axis,
+                      "stage_axis": args.stage_axis,
                       "mesh_mode": args.mesh_mode}))
     sys.exit(0 if ok else 1)
 

@@ -120,7 +120,8 @@ def new_families_table() -> str:
 def dit_table() -> str:
     rows = {}
     for r in load_jsonl(BENCH / "dit_round3c_fix.jsonl",
-                        BENCH / "dit_round4*.jsonl"):
+                        BENCH / "dit_round4*.jsonl",
+                        BENCH / "dit_moe_round4.jsonl"):
         if "family" in r and "error" not in r:
             rows[r["family"]] = r
     lines = ["| backbone | GFLOPs/step | steps/s | TF/s | MFU |",
