@@ -51,7 +51,10 @@ def load_jsonl(*paths) -> list:
 
 
 def latest_headline() -> dict:
-    """Newest BENCH_r0N.json parsed payload (the driver's bench.py run)."""
+    """Newest flagship headline: the driver's BENCH_r0N.json runs, plus any
+    newer in-round bench.py capture (benchmarks/bench_headline_round*.json,
+    jsonl of bench.py output lines — the UNet flagship is the
+    ddpm_cifar10_train_imgs_per_sec row)."""
     best = {}
     for p in sorted(REPO.glob("BENCH_r0*.json")):
         try:
@@ -61,6 +64,20 @@ def latest_headline() -> dict:
         if d.get("rc") == 0 and d.get("parsed"):
             best = d["parsed"]
             best["_src"] = p.name
+    for p in sorted(BENCH.glob("bench_headline_round*.json")):
+        rnd = re.search(r"round(\d+)", p.name)
+        src_rnd = re.search(r"r0*(\d+)", best.get("_src", "r0"))
+        if rnd and src_rnd and int(rnd.group(1)) <= int(src_rnd.group(1)):
+            continue  # the driver capture for that round is authoritative
+        for line in p.read_text().splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            if d.get("metric") == "ddpm_cifar10_train_imgs_per_sec" and \
+                    d.get("value"):
+                best = d
+                best["_src"] = p.name
     return best
 
 
