@@ -29,6 +29,7 @@ CASES = [
     ("edm", "edm/cifar10", 256, []),
     ("edm_dit", "edm/cifar10_dit", 256, []),
     ("consistency", "consistency/cifar10", 256, []),
+    ("score_sde", "score_sde/cifar10", 256, []),
 ]
 
 

@@ -106,6 +106,19 @@ def main() -> None:
     bench(jax.jit(lambda s, r: cm.multistep_sample(s, r, BATCH, steps=1)),
           cstate, "consistency_cifar10_1step_samples_per_sec", nfe=1)
 
+    # score-SDE (VE): stochastic Predictor-Corrector reverse SDE (64
+    # predictor + 64 Langevin corrector evals) and the deterministic
+    # probability-flow ODE (Heun, 127 evals) — models/score_sde.py
+    from igm_tpu.models.score_sde import ScoreSDE
+    sde = ScoreSDE(datamodule=dm_cfg, hidden_dim=64, dim_mults=[1, 2, 4],
+                   sample_steps=64, corrector_steps=1, ema_decay=0.0)
+    sde.steps_per_epoch = 391
+    sstate = jax.jit(sde.init_state)(jax.random.PRNGKey(0))
+    bench(jax.jit(lambda s, r: sde.pc_sample(s, r, BATCH)), sstate,
+          "score_sde_cifar10_pc64_samples_per_sec", nfe=128)
+    bench(jax.jit(lambda s, r: sde.ode_sample(s, r, BATCH)), sstate,
+          "score_sde_cifar10_ode64_samples_per_sec", nfe=127)
+
     # realnvp: sampling is ONE inverse conv stack (no chain at all)
     from igm_tpu.models.realnvp import RealNVP
     nvp = RealNVP(datamodule=dm_cfg, hidden_dim=128)

@@ -72,5 +72,8 @@ run_one edm_mnist        edm/mnist        $((30*S)) \
 # consistency training (iCT): 2-step multistep sampling (round 4)
 run_one consistency_mnist consistency/mnist $((60*S)) \
     trainer.check_val_every_n_epoch=10
+# VE score-SDE + Predictor-Corrector sampling (round 4b)
+run_one score_sde_mnist  score_sde/mnist  $((30*S)) \
+    trainer.check_val_every_n_epoch=5
 
 echo "[$(date +%H:%M:%S)] gallery complete"

@@ -58,6 +58,7 @@ SMOKE_EXPERIMENTS = [
     "realnvp/mnist",     # exact-likelihood flow (beyond parity)
     "edm/mnist",         # sigma-space EDM + Heun sampler (beyond parity)
     "consistency/mnist",  # consistency training, 1-2 step gen (beyond parity)
+    "score_sde/mnist",   # VE score-SDE + PC sampler (beyond parity)
 ]
 
 
@@ -79,7 +80,7 @@ def test_smoke(config_dir, tmp_path, experiment):
         # tiny UNet + short chain so the scan sampler stays fast on CPU
         extra = ["model.hidden_dim=16", "model.timesteps=8",
                  "datamodule.batch_size=8", "+model.sample_batch=8"]
-    if experiment.startswith(("flow", "edm", "consistency")):
+    if experiment.startswith(("flow", "edm", "consistency", "score_sde")):
         extra = ["model.hidden_dim=16", "model.sample_steps=3",
                  "datamodule.batch_size=8", "+model.sample_batch=8"]
     if experiment.startswith("realnvp"):
