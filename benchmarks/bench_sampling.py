@@ -27,7 +27,14 @@ def bench(sample_fn, state, metric: str, **extra) -> None:
     The fence is ``device_get`` of a computed reduction, NOT
     ``block_until_ready`` — over the axon tunnel the latter can resolve
     before queued work executes (NOTES.md "TIMING TRAP"; unfenced
-    short-sampler numbers here read up to 3x too high)."""
+    short-sampler numbers here read up to 3x too high).
+
+    ``IGM_BENCH_ONLY=<substring>`` re-measures a single family without
+    rerunning the whole ladder (the ancestral-1000 row alone is ~10 s of
+    chain per fence)."""
+    only = os.environ.get("IGM_BENCH_ONLY", "")
+    if only and only not in metric:
+        return
     import jax
     import jax.numpy as jnp
 

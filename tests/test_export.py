@@ -163,3 +163,30 @@ def test_export_flow_matching(tmp_path):
     imgs = np.asarray(exported.call(jax.random.PRNGKey(1)))
     assert imgs.shape == (2, 28, 28, 1)
     assert np.isfinite(imgs).all()
+
+
+@pytest.mark.slow
+def test_export_score_sde_pc(tmp_path):
+    """--sampler pc: the score-SDE Predictor-Corrector reverse-SDE chain as
+    a serving artifact (stochastic sampler — the key drives the SDE)."""
+    art = tmp_path / "sde.jaxexport"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export.py"),
+         "experiment=score_sde/mnist", "model.hidden_dim=8",
+         "model.dim_mults=[1,2]",
+         "--n", "2", "--sampler", "pc", "--steps", "3",
+         "--platforms", "cpu", "--out", str(art)],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    meta = json.loads((tmp_path / "sde.jaxexport.json").read_text())
+    assert meta["sampler"] == "pc"
+
+    import jax
+    from jax import export as jexport
+    exported = jexport.deserialize(art.read_bytes())
+    imgs = np.asarray(exported.call(jax.random.PRNGKey(1)))
+    assert imgs.shape == (2, 28, 28, 1)
+    assert np.isfinite(imgs).all()
+    # stochastic chain: different keys must give different samples
+    imgs2 = np.asarray(exported.call(jax.random.PRNGKey(2)))
+    assert not np.allclose(imgs, imgs2)

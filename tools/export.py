@@ -120,11 +120,13 @@ def main() -> None:
     parser.add_argument("--n", type=int, default=64, help="serving batch")
     parser.add_argument("--sampler", default="default",
                         choices=["default", "ddim", "dpm", "heun",
-                                 "multistep"],
+                                 "multistep", "pc", "ode"],
                         help="export a specific sampler instead of the "
                              "model's default: ddim/dpm (ddpm family), "
                              "heun (EDM/flow), multistep (consistency; "
-                             "--steps 1 = single-eval generation)")
+                             "--steps 1 = single-eval generation), "
+                             "pc/ode (score-SDE Predictor-Corrector / "
+                             "probability-flow ODE)")
     parser.add_argument("--steps", type=int, default=None,
                         help="fast-sampler step count (default: config)")
     parser.add_argument("--out", default="sampler.jaxexport")
