@@ -125,6 +125,15 @@ def main() -> None:
           "score_sde_cifar10_pc64_samples_per_sec", nfe=128)
     bench(jax.jit(lambda s, r: sde.ode_sample(s, r, BATCH)), sstate,
           "score_sde_cifar10_ode64_samples_per_sec", nfe=127)
+    # VP variant (DDPM's continuous-time limit): same eval counts, the
+    # per-step coefficient table rides the scan instead of a sigma grid
+    sde_vp = ScoreSDE(datamodule=dm_cfg, hidden_dim=64, dim_mults=[1, 2, 4],
+                      sample_steps=64, corrector_steps=1, ema_decay=0.0,
+                      sde="vp")
+    sde_vp.steps_per_epoch = 391
+    vstate = jax.jit(sde_vp.init_state)(jax.random.PRNGKey(0))
+    bench(jax.jit(lambda s, r: sde_vp.pc_sample(s, r, BATCH)), vstate,
+          "score_sde_vp_cifar10_pc64_samples_per_sec", nfe=128)
 
     # realnvp: sampling is ONE inverse conv stack (no chain at all)
     from igm_tpu.models.realnvp import RealNVP

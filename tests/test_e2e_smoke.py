@@ -59,6 +59,7 @@ SMOKE_EXPERIMENTS = [
     "edm/mnist",         # sigma-space EDM + Heun sampler (beyond parity)
     "consistency/mnist",  # consistency training, 1-2 step gen (beyond parity)
     "score_sde/mnist",   # VE score-SDE + PC sampler (beyond parity)
+    "score_sde/mnist_vp",  # VP score-SDE (DDPM's continuous-time limit)
 ]
 
 

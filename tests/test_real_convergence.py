@@ -210,6 +210,9 @@ def test_gallery_scores_new_families():
     assert fl["mean_confidence"] >= 0.7 and fl["coverage"] >= 7, fl
     ed = scores("edm_mnist")
     assert ed["mean_confidence"] >= 0.7 and ed["coverage"] >= 7, ed
+    # VE score-SDE PC-sampled gallery (400 epochs, measured 0.867/10/6.07)
+    sd = scores("score_sde_mnist")
+    assert sd["mean_confidence"] >= 0.75 and sd["coverage"] >= 9, sd
     edc = scores("edm_cifar")
     assert edc["coverage"] >= 6, edc
 

@@ -160,3 +160,150 @@ def test_sample_clips_and_routes_sampler():
     assert out.min() >= -1.0 and out.max() <= 1.0
     with pytest.raises(ValueError, match="sampler"):
         _model(sampler="bogus")
+    with pytest.raises(ValueError, match="sde"):
+        _model(sde="bogus")
+
+
+# --------------------------------------------------------------- VP / sub-VP
+
+def test_vp_kernel_matches_ddpm_cumprod():
+    """The VP SDE is the continuous-time limit of DDPM's discrete chain
+    (paper App. B): with the standard linear ladder beta_i = beta(t_i)/N,
+    DDPM's sqrt(alpha-bar_i) / sqrt(1 - alpha-bar_i) must converge to the
+    kernel's m(t_i) / sigma(t_i).  N=1000 pins the coefficients to ~1e-3
+    — the quantitative link between score_sde(sde=vp) and models/ddpm.py."""
+    from igm_tpu.models.score_sde import vp_B
+
+    m = _model(sde="vp", beta_min=0.1, beta_max=20.0)
+    big_n = 1000
+    t = (np.arange(1, big_n + 1)) / big_n
+    beta_disc = m._beta(t) / big_n
+    abar = np.cumprod(1.0 - beta_disc)
+    mean_c, sigma = m._kernel(t)
+    np.testing.assert_allclose(mean_c, np.sqrt(abar), atol=3e-3)
+    np.testing.assert_allclose(sigma, np.sqrt(1.0 - abar), atol=3e-3)
+    # closed form of the integral itself
+    np.testing.assert_allclose(vp_B(np.array([1.0]), 0.1, 20.0),
+                               [0.1 + 0.5 * 19.9], rtol=1e-12)
+
+
+def test_subvp_coefficients():
+    """sub-VP relations (paper eq. 28/32): sigma = 1 - exp(-B) (the
+    SQUARE ROOT of VP's variance bound, always below it) and
+    g^2 = beta (1 - exp(-2B))."""
+    from igm_tpu.models.score_sde import vp_B
+
+    m = _model(sde="subvp", beta_min=0.1, beta_max=20.0)
+    t = np.linspace(0.05, 1.0, 7)
+    B = vp_B(t, 0.1, 20.0)
+    _, sig_sub = m._kernel(t)
+    np.testing.assert_allclose(sig_sub, 1.0 - np.exp(-B), rtol=1e-6)
+    np.testing.assert_allclose(m._g2(t),
+                               m._beta(t) * (1.0 - np.exp(-2.0 * B)),
+                               rtol=1e-6)
+    m_vp = _model(sde="vp", beta_min=0.1, beta_max=20.0)
+    _, sig_vp = m_vp._kernel(t)
+    assert (sig_sub <= sig_vp + 1e-9).all()
+
+
+def _oracle_scaled(m, v0: float):
+    """Exact score for data ~ N(0, v0 I) under the scaled kernel
+    x_t = m x_0 + sigma z: p_t = N(0, (m^2 v0 + sigma^2) I)."""
+    def score(state, x, sigma, mc=1.0):
+        sb = sigma.reshape(-1, *([1] * (x.ndim - 1)))
+        return -x / (mc ** 2 * v0 + sb ** 2)
+    m.score = score
+
+
+def test_vp_pc_oracle_matches_chain_law():
+    """With the Gaussian oracle every VP predictor step is the linear map
+    x' = c x + sqrt(beta_d) z with c = 2 - sqrt(1-beta_d) - beta_d/V
+    (V = m^2 v0 + sigma^2 at the current level), so the chain variance
+    obeys a closed recursion; the sampler must match it to sampling error
+    — pins the kernel-exact discrete beta, the predictor update, and the
+    scaled terminal Tweedie denoise.  Sanity: the corrected chain lands
+    near the true x_0 marginal N(0, v0)."""
+    from igm_tpu.models.score_sde import vp_B
+
+    v0 = 1.0
+
+    def run(steps, corr, key=3):
+        m = _model(sde="vp", sample_steps=steps, corrector_steps=corr)
+        state = jax.jit(m.init_state)(jax.random.PRNGKey(0))
+        _oracle_scaled(m, v0)
+        out = np.asarray(jax.jit(
+            lambda r: m.pc_sample(state, r, 512))(jax.random.PRNGKey(key)))
+        assert out.shape == (512, 8, 8, 1)
+        return out.reshape(-1)
+
+    def predicted_var(steps):
+        tg = np.linspace(1.0, 1e-3, steps)
+        B = vp_B(tg, 0.1, 20.0)
+        mg, sg = np.exp(-0.5 * B), np.sqrt(1.0 - np.exp(-B))
+        beta_d = 1.0 - np.exp(-(B[:-1] - B[1:]))
+        var = 1.0  # prior N(0, I)
+        for i, bd in enumerate(beta_d):
+            big_v = mg[i] ** 2 * v0 + sg[i] ** 2
+            c = 2.0 - np.sqrt(1.0 - bd) - bd / big_v
+            var = c ** 2 * var + bd
+        big_v = mg[-1] ** 2 * v0 + sg[-1] ** 2
+        return var * ((1.0 - sg[-1] ** 2 / big_v) / mg[-1]) ** 2
+
+    for steps in (64, 192):
+        emp = run(steps, corr=0, key=steps)
+        np.testing.assert_allclose(emp.var(), predicted_var(steps),
+                                   rtol=0.03)
+        assert abs(emp.mean()) < 0.02
+    np.testing.assert_allclose(run(96, corr=1).var(), v0, rtol=0.12)
+
+
+@pytest.mark.parametrize("sde", ["vp", "subvp"])
+def test_vp_ode_oracle_lands_on_closed_form(sde):
+    """For Gaussian data the probability flow is linear, so it preserves
+    x/sqrt(V(t)) (V = m^2 v0 + sigma^2): the Heun solution from the prior
+    draw x(1) must land on x(1) sqrt(V(t_eps)/V(1)), then the scaled
+    Tweedie contraction (1 - sigma^2/V)/m."""
+    from igm_tpu.models.score_sde import vp_B
+
+    v0 = 4.0
+    m = _model(sde=sde, sample_steps=256, sampler="ode")
+    state = jax.jit(m.init_state)(jax.random.PRNGKey(0))
+    _oracle_scaled(m, v0)
+    rng = jax.random.PRNGKey(5)
+    out = np.asarray(jax.jit(lambda r: m.ode_sample(state, r, 16))(rng))
+    x1 = np.asarray(jax.random.normal(rng, (16, 8, 8, 1)))
+
+    B = vp_B(np.array([1.0, 1e-3]), 0.1, 20.0)
+    mg = np.exp(-0.5 * B)
+    sg = (np.sqrt(1.0 - np.exp(-B)) if sde == "vp"
+          else 1.0 - np.exp(-B))
+    big_v = mg ** 2 * v0 + sg ** 2
+    expect = (x1 * np.sqrt(big_v[1] / big_v[0])
+              * (1.0 - sg[1] ** 2 / big_v[1]) / mg[1])
+    np.testing.assert_allclose(out, expect, rtol=5e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("sde", ["vp", "subvp"])
+def test_vp_train_loss_drops(sde):
+    m = _model(sde=sde, lr=3e-3)
+    state = jax.jit(m.init_state)(jax.random.PRNGKey(0))
+    step = jax.jit(m.train_step)
+    imgs = jax.random.normal(jax.random.PRNGKey(7), (16, 8, 8, 1)) * 0.1
+    batch = ((imgs + 1.0) * 127.5, jnp.zeros((16,), jnp.int32))
+    first = last = None
+    for _ in range(40):
+        state, metrics = step(state, batch)
+        v = float(metrics["train_loss/loss"])
+        assert np.isfinite(v)
+        first = v if first is None else first
+        last = v
+    assert last < first, (first, last)
+
+
+def test_subvp_pc_sample_shapes_and_finite():
+    m = _model(sde="subvp", sample_steps=8, corrector_steps=1)
+    state = jax.jit(m.init_state)(jax.random.PRNGKey(0))
+    out = np.asarray(jax.jit(
+        lambda r: m.pc_sample(state, r, 4))(jax.random.PRNGKey(2)))
+    assert out.shape == (4, 8, 8, 1)
+    assert np.isfinite(out).all()

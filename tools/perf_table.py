@@ -113,6 +113,7 @@ NEW_FAMILY_LABELS = {
     "edm": "edm cifar10 (Karras preconditioning)",
     "edm_dit": "edm cifar10_dit (DiT-384 backbone)",
     "consistency": "consistency cifar10 (iCT, 1-2-step sampling)",
+    "score_sde": "score_sde cifar10 (VE, PC reverse-SDE sampler)",
 }
 
 
@@ -200,6 +201,12 @@ def sampling_table() -> str:
          "Flow matching Heun-50 ODE sampling (same-size UNet)"),
         ("realnvp_cifar10_samples_per_sec",
          "RealNVP sampling (one inverse conv stack, no chain)"),
+        ("score_sde_cifar10_pc64_samples_per_sec",
+         "Score-SDE Predictor-Corrector 64 sampling (reverse SDE, 128 evals)"),
+        ("score_sde_cifar10_ode64_samples_per_sec",
+         "Score-SDE probability-flow ODE Heun-64 sampling (127 evals)"),
+        ("score_sde_vp_cifar10_pc64_samples_per_sec",
+         "Score-SDE VP Predictor-Corrector 64 sampling (128 evals)"),
     ]
     for metric, label in pairs:
         val = v(metric)
