@@ -7,9 +7,9 @@ listing is for interactive use::
 """
 
 __all__ = [
-    "aae", "age", "base", "BiGAN", "consistency", "cvae", "ddpm", "edm",
+    "aae", "age", "base", "BiGAN", "consistency", "cvae", "ddpm", "distill", "edm",
     "factor_vae",
     "flow_matching", "gan", "info_gan", "latent_ddpm", "made", "pixelcnn",
-    "realnvp", "speed_gan", "tar", "vae", "vae_gan", "vqvae", "wgan",
+    "realnvp", "score_sde", "speed_gan", "tar", "vae", "vae_gan", "vqvae", "wgan",
     "wgan_gp",
 ]

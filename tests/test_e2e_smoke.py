@@ -60,6 +60,7 @@ SMOKE_EXPERIMENTS = [
     "consistency/mnist",  # consistency training, 1-2 step gen (beyond parity)
     "score_sde/mnist",   # VE score-SDE + PC sampler (beyond parity)
     "score_sde/mnist_vp",  # VP score-SDE (DDPM's continuous-time limit)
+    "distill/mnist",     # progressive distillation phase (beyond parity)
 ]
 
 
@@ -84,6 +85,12 @@ def test_smoke(config_dir, tmp_path, experiment):
     if experiment.startswith(("flow", "edm", "consistency", "score_sde")):
         extra = ["model.hidden_dim=16", "model.sample_steps=3",
                  "datamodule.batch_size=8", "+model.sample_batch=8"]
+    if experiment.startswith("distill"):
+        # one halving phase from a random (ckpt-less) teacher: exercises
+        # the frozen-teacher train step + the student-grid sampler
+        extra = ["model.hidden_dim=16", "model.timesteps=16",
+                 "model.student_steps=2", "datamodule.batch_size=8",
+                 "+model.sample_batch=8"]
     if experiment.startswith("realnvp"):
         extra = ["model.hidden_dim=16", "datamodule.batch_size=8",
                  "+model.sample_batch=8"]
