@@ -135,6 +135,19 @@ def main() -> None:
     bench(jax.jit(lambda s, r: sde_vp.pc_sample(s, r, BATCH)), vstate,
           "score_sde_vp_cifar10_pc64_samples_per_sec", nfe=128)
 
+    # progressive distillation students: N unclipped DDIM steps on the
+    # phase ladder (models/distill.py) — throughput is arch-only, so an
+    # untrained student measures the serving cost of the halved sampler
+    from igm_tpu.models.distill import ProgressiveDistillation
+    for n_steps in (8, 4):
+        pd = ProgressiveDistillation(
+            datamodule=dm_cfg, hidden_dim=64, dim_mults=[1, 2, 4],
+            timesteps=1000, student_steps=n_steps, ema_decay=0.0)
+        pd.steps_per_epoch = 391
+        pstate = jax.jit(pd.init_state)(jax.random.PRNGKey(0))
+        bench(jax.jit(lambda s, r, m=pd: m.student_sample(s, r, BATCH)),
+              pstate, f"ddpm_distill{n_steps}_samples_per_sec", nfe=n_steps)
+
     # realnvp: sampling is ONE inverse conv stack (no chain at all)
     from igm_tpu.models.realnvp import RealNVP
     nvp = RealNVP(datamodule=dm_cfg, hidden_dim=128)
