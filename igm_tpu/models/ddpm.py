@@ -242,12 +242,23 @@ class DDPM(BaseModel):
             if self.hparams.get("moe_experts", 0) and "moe" in mut:
                 # Switch load-balance loss, mean over the MoE blocks
                 # (networks/moe.py; sowed per block into the "moe"
-                # collection with a replace-reduce)
-                auxes = jax.tree_util.tree_leaves(mut["moe"])
+                # collection with a replace-reduce).  Scalar "aux" leaves
+                # are the loss; vector "load" leaves are the per-expert
+                # routed fractions — aggregated here into router-health
+                # metrics (collapse = entropy -> 0 / min share -> 0).
+                leaves = jax.tree_util.tree_leaves(mut["moe"])
+                auxes = [v for v in leaves if v.ndim == 0]
+                loads = [v for v in leaves if v.ndim == 1]
                 aux = sum(auxes) / max(1, len(auxes))
                 loss = loss + float(self.hparams.moe_aux_weight) * aux
                 metrics["train_loss/moe_aux"] = aux
                 metrics["train_loss/loss"] = loss
+                if loads:
+                    load = sum(loads) / len(loads)       # [E] mean fraction
+                    e = load.shape[0]
+                    ent = -jnp.sum(load * jnp.log(load + 1e-9))
+                    metrics["moe/load_entropy"] = ent / jnp.log(float(e))
+                    metrics["moe/min_share"] = jnp.min(load) * e
             return loss, {"metrics": metrics,
                           "mutables": {**state.mutables, "denoise": mut}}
 
@@ -348,10 +359,21 @@ class DDPM(BaseModel):
 
     def ddim_sample(self, state: TrainState, rng: jax.Array, n: int,
                     steps: int = 50, eta: float = 0.0,
-                    y=None, guidance: float = 1.0) -> jnp.ndarray:
+                    y=None, guidance: float = 1.0,
+                    clip_denoised: bool = True) -> jnp.ndarray:
         """DDIM sampler (Song et al. 2021) over an evenly-spaced timestep
         subsequence — beyond-parity fast inference (steps ~50 vs the
         ancestral chain's 1000).  eta=0 gives the deterministic ODE sampler.
+
+        When ``clip_denoised`` bounds the implied x0 to the data range,
+        eps is RE-DERIVED from the clipped x0 so the (x0, eps) pair stays
+        consistent — using the stale pre-clip eps for the direction term
+        walks off the clipped manifold every step and was measured to
+        collapse sample quality on short-trained models (round-4 anomaly:
+        DDIM-50 digit-IS 2.53 vs DPM-20's 5.46 on the same ddpm_cifar
+        weights; DPM-Solver++ is data-prediction so its clip is consistent
+        by construction — this re-derivation gives DDIM the same
+        property).  Root-cause sweep: benchmarks/ddim_sweep_round5.*.
         """
         shape = self._sample_shape(n)
         init_rng, chain_rng = jax.random.split(rng)
@@ -369,7 +391,9 @@ class DDPM(BaseModel):
             a_t = tbl.alphas_cumprod[t]
             a_prev = jnp.where(t_prev >= 0, tbl.alphas_cumprod[t_prev], 1.0)
             x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
-            x0 = jnp.clip(x0, -1.0, 1.0)
+            if clip_denoised:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+                eps = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(1 - a_t)
             sigma = (eta * jnp.sqrt((1 - a_prev) / (1 - a_t))
                      * jnp.sqrt(1 - a_t / a_prev))
             dir_xt = jnp.sqrt(jnp.maximum(1 - a_prev - sigma ** 2, 0.0)) * eps

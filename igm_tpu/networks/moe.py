@@ -122,4 +122,13 @@ class SwitchMoE(nn.Module):
         frac = jnp.mean(onehot, axis=0)
         mean_p = jnp.mean(probs, axis=0)
         aux = e * jnp.sum(frac * mean_p)
+        # router-health observability: per-expert load fractions, sowed
+        # into the same "moe" collection the aux loss rides (replace-
+        # reduce — the default tuple-append would grow the pytree across
+        # steps and break retrace stability).  The train step aggregates
+        # these into load-entropy / min-share metrics so router collapse
+        # is visible in the TB curves, not just in sample quality.
+        self.sow("moe", "load", frac,
+                 init_fn=lambda: jnp.zeros((e,), jnp.float32),
+                 reduce_fn=lambda prev, cur: cur)
         return out.reshape(b, t, d).astype(x.dtype), aux

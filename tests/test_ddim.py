@@ -1,0 +1,130 @@
+"""DDIM sampler semantics (beyond parity — the reference has only the
+1000-step ancestral loop, src/models/ddpm.py:399-409).
+
+Pins the clip-consistency fix (round 5): when clip_denoised bounds the
+implied x0, eps must be RE-DERIVED from the clipped x0 so the (x0, eps)
+pair used by the update is consistent.  The round-4 gallery measured the
+stale-eps variant collapsing quality (DDIM-50 digit-IS 2.53 vs DPM-20's
+5.46 on the same weights); the root-cause sweep lives in
+benchmarks/ddim_sweep_round5.*.
+"""
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from igm_tpu.config import to_node
+from igm_tpu.models.ddpm import DDPM
+
+DM = to_node({"width": 8, "height": 8, "channels": 1,
+              "transforms": {"convert": True, "normalize": True}})
+
+
+def _model(**kw):
+    kw.setdefault("hidden_dim", 8)
+    kw.setdefault("dim_mults", (1, 2))
+    kw.setdefault("compute_dtype", "float32")
+    kw.setdefault("timesteps", 64)
+    m = DDPM(datamodule=DM, **kw)
+    m.steps_per_epoch = 10
+    return m
+
+
+# oracle: implied x0 = 0.8x + 0.6 — binds the clip on the upper tail of
+# an N(0,1) init (x > 0.5) while keeping the endpoint unsaturated, so the
+# consistent and stale-eps chains land on measurably different outputs
+def _oracle_x0(x):
+    return 0.8 * x + 0.6
+
+
+def _numpy_ddim(m, x_init, steps, clip, stale=False):
+    """Reference eta=0 DDIM chain in numpy.  clip + stale=False is the
+    CONSISTENT pair (eps re-derived from the clipped x0); clip +
+    stale=True reproduces the pre-round-5 bug (clipped x0, pre-clip
+    eps)."""
+    acp = np.asarray(m.tables.alphas_cumprod, np.float64)
+    seq = np.linspace(0, m.timesteps - 1, steps).round().astype(int)
+    seq_prev = np.concatenate([[-1], seq[:-1]])
+    x = np.asarray(x_init, np.float64)
+    for t, tp in zip(seq[::-1], seq_prev[::-1]):
+        a_t = acp[t]
+        a_p = acp[tp] if tp >= 0 else 1.0
+        x0 = _oracle_x0(x)
+        eps = (x - np.sqrt(a_t) * x0) / np.sqrt(1 - a_t)
+        if clip:
+            x0 = np.clip(x0, -1.0, 1.0)
+            if not stale:
+                eps = (x - np.sqrt(a_t) * x0) / np.sqrt(1 - a_t)
+        x = np.sqrt(a_p) * x0 + np.sqrt(1 - a_p) * eps
+    return x
+
+
+def _run_pair(clip):
+    """ddim_sample under the oracle vs the numpy reference."""
+    m = _model()
+    state = jax.jit(m.init_state)(jax.random.PRNGKey(0))
+    acp = m.tables.alphas_cumprod
+
+    def oracle_eps(state, x, t, y=None, guidance=1.0):
+        a = acp[t.astype(jnp.int32)].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(a) * _oracle_x0(x)) / jnp.sqrt(1.0 - a)
+
+    orig = m._eps
+    m._eps = oracle_eps
+    try:
+        rng = jax.random.PRNGKey(7)
+        out = m.ddim_sample(state, rng, 2, steps=4, clip_denoised=clip)
+    finally:
+        m._eps = orig
+    # replicate the sampler's init-noise draw exactly
+    init_rng, _ = jax.random.split(rng)
+    x_init = jax.random.normal(init_rng, (2, 8, 8, 1))
+    exp = _numpy_ddim(m, x_init, steps=4, clip=clip)
+    return m, np.asarray(out), np.asarray(x_init), exp
+
+
+def test_clipped_ddim_rederives_eps():
+    m, out, x_init, exp = _run_pair(clip=True)
+    np.testing.assert_allclose(out, exp, rtol=0, atol=5e-4)
+    # discrimination: the pre-fix stale-eps chain lands somewhere else
+    # entirely — this test FAILS on the old implementation
+    stale = _numpy_ddim(m, x_init, steps=4, clip=True, stale=True)
+    assert np.abs(stale - exp).max() > 0.05, np.abs(stale - exp).max()
+    assert np.abs(out - stale).max() > 0.05
+
+
+def test_unclipped_ddim_matches_reference():
+    m, out, x_init, exp = _run_pair(clip=False)
+    np.testing.assert_allclose(out, exp, rtol=1e-4, atol=5e-4)
+    # unclipped trajectories under the affine oracle drift past the data
+    # range on the upper tail — the two clip arms measure different chains
+    assert np.abs(exp).max() > 1.0
+
+
+def test_clip_consistency_matches_distill_step():
+    """models/distill.py's _ddim_det (which always re-derived eps after
+    clipping) and ddim_sample now implement the SAME one-step map — the
+    distillation targets and the exported DDIM sampler agree."""
+    from igm_tpu.models.distill import ProgressiveDistillation
+    m = ProgressiveDistillation(datamodule=DM, hidden_dim=8,
+                                dim_mults=(1, 2), compute_dtype="float32",
+                                timesteps=64, student_steps=4)
+    tbl = m.tables
+    rng = jax.random.PRNGKey(3)
+    x = 3.0 * jax.random.normal(rng, (2, 8, 8, 1))
+    eps = jax.random.normal(jax.random.split(rng)[1], (2, 8, 8, 1))
+    t = jnp.full((2,), 40, jnp.int32)
+    tp = jnp.full((2,), 20, jnp.int32)
+    stepped = m._ddim_det(tbl, x, eps, t, tp, clip=True)
+
+    a_t = np.asarray(tbl.alphas_cumprod)[40]
+    a_p = np.asarray(tbl.alphas_cumprod)[20]
+    x0 = (np.asarray(x) - np.sqrt(1 - a_t) * np.asarray(eps)) / np.sqrt(a_t)
+    x0 = np.clip(x0, -1, 1)
+    eps_c = (np.asarray(x) - np.sqrt(a_t) * x0) / np.sqrt(1 - a_t)
+    exp = np.sqrt(a_p) * x0 + np.sqrt(1 - a_p) * eps_c
+    np.testing.assert_allclose(np.asarray(stepped), exp, rtol=0, atol=1e-5)

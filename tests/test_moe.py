@@ -187,3 +187,24 @@ def test_scatter_dispatch_equals_einsum(shape):
                          jax.tree_util.tree_leaves(g_s)):
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_router_health_metrics():
+    """The train step surfaces per-expert load observability (round 5):
+    normalized load entropy (1.0 = perfectly balanced routing) and the
+    min expert share scaled by E (1.0 = uniform; ~0 = a starved expert).
+    Router collapse is now a visible curve, not a silent quality bug."""
+    model = _moe_ddpm(experts=4)
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = (rng.randint(0, 255, size=(8, 16, 16, 1), dtype=np.uint8),
+             np.zeros((8,), np.int32))
+    step = jax.jit(model.train_step)
+    for _ in range(2):
+        state, met = step(state, batch)
+    ent = float(met["moe/load_entropy"])
+    share = float(met["moe/min_share"])
+    assert 0.0 <= ent <= 1.0 + 1e-6, ent
+    assert 0.0 <= share <= 1.0 + 1e-6, share
+    # an untrained f32 router routes near-uniformly at init
+    assert ent > 0.5, ent

@@ -59,14 +59,23 @@ def main() -> None:
     guidance = (float(args.guidance) if args.guidance is not None
                 else float(model.hparams.guidance_scale))
 
-    def sampler(st, rng):
-        return model.p_sample_loop(st, rng, model._sample_shape(n_cls * k),
-                                   y=y, guidance=guidance)
+    if hasattr(model, "p_sample_loop"):        # ddpm family (ancestral)
+        def sampler(st, rng):
+            return model.p_sample_loop(
+                st, rng, model._sample_shape(n_cls * k), y=y,
+                guidance=guidance)
+    elif hasattr(model, "ode_sample"):          # flow matching (Heun ODE)
+        def sampler(st, rng):
+            return model.ode_sample(st, rng, n_cls * k, y=y,
+                                    guidance=guidance)
+    else:
+        raise SystemExit(f"{type(model).__name__} has no guidance-aware "
+                         "sampler (p_sample_loop / ode_sample)")
     imgs = jax.jit(sampler)(state, jax.random.PRNGKey(args.seed))
     if hasattr(model, "decode") and imgs.shape[1:3] != (model.height,
                                                         model.width):
         imgs = jax.jit(model.decode)(state, imgs)
-    imgs = np.asarray(jax.device_get(imgs))
+    imgs = np.clip(np.asarray(jax.device_get(imgs)), -1.0, 1.0)
 
     clf = digit_score.load_or_train(str(REPO / "data"),
                                     model.height, model.width)
