@@ -223,3 +223,27 @@ def test_gallery_scores_new_families():
     # equal coverage (measured round 4: dpm 0.833/10 vs ancestral 0.794/10)
     assert dpm["mean_confidence"] >= anc["mean_confidence"] - 0.1
     assert dpm["coverage"] >= anc["coverage"] - 1
+
+
+def test_distillation_gallery_gate():
+    """Round-5 (VERDICT #1): the progressive-distillation chain on real
+    digits must preserve teacher quality at 8 and 4 steps — the family's
+    entire point.  Measured (benchmarks/real_runs/distill_mnist, seed-7
+    grids from the same chain): teacher DDIM-16 0.851 conf / 10 cov /
+    digit-IS 6.66; student-8 0.819/10/5.82; student-4 0.814/10/5.77 —
+    full coverage at every halving, confidence within 4%, digit-IS
+    within ~13%."""
+    import json
+    from pathlib import Path
+
+    runs = Path(__file__).resolve().parent.parent / "benchmarks" / "real_runs"
+    grids = json.loads(
+        (runs / "distill_mnist" / "digit_scores.json").read_text())["grids"]
+    teacher = grids["samples_teacher_ddim16.jpg"]
+    s8 = grids["samples_student8.jpg"]
+    s4 = grids["samples_student4.jpg"]
+    assert teacher["coverage"] == 10 and teacher["mean_confidence"] >= 0.8
+    for s in (s8, s4):
+        assert s["coverage"] >= teacher["coverage"] - 1, s
+        assert s["mean_confidence"] >= teacher["mean_confidence"] - 0.05, s
+        assert s["inception_score"] >= 0.85 * teacher["inception_score"], s

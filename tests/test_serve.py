@@ -98,3 +98,32 @@ def test_bench_helper(artifact):
     from tools.serve import bench
     stats = bench(str(artifact), 3)
     assert stats["requests"] == 3 and stats["http_requests_per_sec"] > 0
+
+
+def test_concurrent_requests_deterministic(server):
+    """8 concurrent /sample posts with interleaved seeds: every response
+    must byte-match the sequential response for its seed (the service
+    lock serializes device work; concurrency must not cross streams) and
+    the server must answer all of them (round-5 serving-latency ask)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch(seed):
+        with _post(f"{server}/sample", {"seed": seed}) as r:
+            assert r.status == 200
+            return np.load(io.BytesIO(r.read()))
+
+    seeds = [3, 5, 3, 7, 5, 7, 3, 5]
+    sequential = {s: fetch(s) for s in set(seeds)}
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(fetch, seeds))
+    for seed, got in zip(seeds, results):
+        np.testing.assert_array_equal(got, sequential[seed])
+
+
+def test_stats_has_latency_percentiles(server):
+    with _post(f"{server}/sample", {"seed": 0}):
+        pass
+    with urllib.request.urlopen(f"{server}/stats") as r:
+        stats = json.loads(r.read())
+    for k in ("p50_ms", "p95_ms", "p99_ms"):
+        assert k in stats and stats[k] is not None and stats[k] > 0, stats

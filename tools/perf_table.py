@@ -15,9 +15,11 @@ replaces everything between them.  Canonical inputs (newest round wins):
     new_families_round4*.jsonl      round-4 additions (consistency)
     dit_round3c_fix.jsonl           DiT width ladder
     dit_round4*.jsonl               round-4 DiT rows (if present)
-    sampling_round4.jsonl           sampler zoo (batch 64)
-    consistency_sampling_round4.jsonl  consistency batch ladder
-    ar_sampling_round3.jsonl        AR family samplers
+    sampling_round4.jsonl + sampling_round5*.jsonl   sampler zoo (batch 64;
+                                    round-5 rows overwrite round-4 ones)
+    consistency_sampling_round{4,5}*.jsonl  consistency batch ladder
+    ar_sampling_round3.jsonl + ar_sampling_round5*.jsonl  AR samplers
+    new_families_round5*.jsonl      round-5 re-measures (latent_ddpm, ...)
     ../BENCH_r0*.json               driver headline (latest)
 """
 from __future__ import annotations
@@ -121,7 +123,8 @@ def new_families_table() -> str:
     rows = {}
     for r in load_jsonl(BENCH / "new_families_round3.jsonl",
                         BENCH / "edm_round3.jsonl",
-                        BENCH / "new_families_round4*.jsonl"):
+                        BENCH / "new_families_round4*.jsonl",
+                        BENCH / "new_families_round5*.jsonl"):
         if "family" in r and "error" not in r:
             rows[r["family"]] = r  # later files overwrite earlier
     lines = ["| family | steps/s | imgs/s | GFLOPs/step | TF/s |",
@@ -139,7 +142,8 @@ def dit_table() -> str:
     rows = {}
     for r in load_jsonl(BENCH / "dit_round3c_fix.jsonl",
                         BENCH / "dit_round4*.jsonl",
-                        BENCH / "dit_moe_round4.jsonl"):
+                        BENCH / "dit_moe_round4.jsonl",
+                        BENCH / "dit_round5*.jsonl"):
         if "family" in r and "error" not in r:
             rows[r["family"]] = r
     lines = ["| backbone | GFLOPs/step | steps/s | TF/s | MFU |",
@@ -165,9 +169,12 @@ def _metric_map(rows: list) -> dict:
 
 
 def sampling_table() -> str:
-    zoo = _metric_map(load_jsonl(BENCH / "sampling_round4.jsonl"))
-    ar = _metric_map(load_jsonl(BENCH / "ar_sampling_round3.jsonl"))
-    cm = load_jsonl(BENCH / "consistency_sampling_round4.jsonl")
+    zoo = _metric_map(load_jsonl(BENCH / "sampling_round4.jsonl",
+                                 BENCH / "sampling_round5*.jsonl"))
+    ar = _metric_map(load_jsonl(BENCH / "ar_sampling_round3.jsonl",
+                                BENCH / "ar_sampling_round5*.jsonl"))
+    cm = load_jsonl(BENCH / "consistency_sampling_round4.jsonl",
+                    BENCH / "consistency_sampling_round5*.jsonl")
     head = latest_headline()
 
     def v(m, src=None):
@@ -207,6 +214,10 @@ def sampling_table() -> str:
          "Score-SDE probability-flow ODE Heun-64 sampling (127 evals)"),
         ("score_sde_vp_cifar10_pc64_samples_per_sec",
          "Score-SDE VP Predictor-Corrector 64 sampling (128 evals)"),
+        ("ddpm_distill8_samples_per_sec",
+         "Distilled student 8-step DDIM sampling (progressive distillation)"),
+        ("ddpm_distill4_samples_per_sec",
+         "Distilled student 4-step DDIM sampling"),
     ]
     for metric, label in pairs:
         val = v(metric)
@@ -250,8 +261,8 @@ def headline_summary() -> str:
             f"{head.get('baseline_imgs_per_sec', 180):.0f} imgs/s "
             f"DERIVED estimate, benchmarks/BASELINE_DERIVATION.md) |\n"
             f"| DDPM ancestral / DDIM-50 / DPM-20 sampling | see the "
-            f"sampling table in README.md (generated from "
-            f"benchmarks/sampling_round4.jsonl) |")
+            f"sampling table in README.md (generated from the newest "
+            f"benchmarks/sampling_round*.jsonl) |")
 
 
 SECTIONS = {

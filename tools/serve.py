@@ -79,6 +79,7 @@ class SamplerService:
         n = len(lat)
         batch = self.meta.get("n")
         return {"requests": n, "p50_ms": pct(50), "p95_ms": pct(95),
+                "p99_ms": pct(99),
                 "batch_per_request": batch,
                 "samples_per_sec": (round(batch * n / (sum(lat) / 1e3), 1)
                                     if lat and batch else None)}
