@@ -217,7 +217,12 @@ def test_gallery_scores_new_families():
     assert edc["coverage"] >= 6, edc
 
     dd = scores("ddpm_cifar")["grids"]
-    anc = dd["samples_epoch29.jpg"]
+    # ancestral grid = the newest epoch-numbered callback grid (epoch29 in
+    # the round-4 archive, epoch59 after the round-5 60-epoch retrain)
+    import re
+    epoch_grids = {int(m.group(1)): k for k in dd
+                   for m in [re.match(r"samples_epoch(\d+)\.jpg", k)] if m}
+    anc = dd[epoch_grids[max(epoch_grids)]]
     dpm = dd["samples_dpm20.jpg"]
     # same quality class: DPM-20 within 10% of ancestral confidence and
     # equal coverage (measured round 4: dpm 0.833/10 vs ancestral 0.794/10)
