@@ -128,3 +128,31 @@ def test_clip_consistency_matches_distill_step():
     eps_c = (np.asarray(x) - np.sqrt(a_t) * x0) / np.sqrt(1 - a_t)
     exp = np.sqrt(a_p) * x0 + np.sqrt(1 - a_p) * eps_c
     np.testing.assert_allclose(np.asarray(stepped), exp, rtol=0, atol=1e-5)
+
+
+def test_ddim_sweep_resolves_round4_anomaly():
+    """Round-5 measured resolution (VERDICT #3): on ONE set of trained
+    ddpm_cifar weights (benchmarks/ddim_sweep_round5.json, 60-epoch
+    retrain, seed 11, n=64), the clip-consistent DDIM-50 chain scores in
+    DPM-20's quality class, and the stale-eps variant it replaced scores
+    materially lower at every step count — the round-4 anomaly was the
+    inconsistent (x0, eps) pair, not a quality-vs-NFE property of DDIM.
+    Measured: consistent DDIM-50 0.847 conf / 10 cov / digit-IS 6.07 vs
+    DPM-20 0.854/10/6.09; stale DDIM-50 4.42 IS; stale DDIM-250 collapses
+    to cov 6 / IS 2.34; no-clip 3.75 IS."""
+    import json
+
+    p = (Path(__file__).resolve().parent.parent / "benchmarks"
+         / "ddim_sweep_round5.json")
+    rows = {r["arm"]: r for r in json.loads(p.read_text())["rows"]}
+    dpm = rows["dpm20"]
+    cons = rows["ddim50_eta0.0_consistent"]
+    # DPM-20 class: confidence within 2%, same coverage, IS within 5%
+    assert cons["mean_confidence"] >= dpm["mean_confidence"] - 0.02
+    assert cons["coverage"] >= dpm["coverage"]
+    assert cons["inception_score"] >= 0.95 * dpm["inception_score"]
+    # the stale-eps arm is the measured regression at every step count
+    for steps in (50, 100, 250):
+        c = rows[f"ddim{steps}_eta0.0_consistent"]
+        s = rows[f"ddim{steps}_eta0.0_stale"]
+        assert c["inception_score"] >= s["inception_score"] + 1.0, (c, s)
