@@ -313,3 +313,37 @@ def test_moe_router_health_real_run():
     assert share[-1] >= 0.5, share[-1]         # balanced at the end
     assert min(share) >= 0.25, min(share)      # nor transiently starved
     assert loss[-1] <= 0.1 and loss[-1] < 0.2 * loss[0]  # and it LEARNS
+
+
+def test_cfg_payoff_gate():
+    """Round-5 (VERDICT #2): classifier-free guidance quantified on real
+    digits (benchmarks/cfg_round5.json — 300-epoch cond models, 16 samples
+    per class, seed 11, guidance w in {0,1,2,4}).
+    Measured conditional accuracy:
+      ddpm/cond_mnist: 0.100 (w=0, = chance: labels ignored) -> 0.494 ->
+        0.750 -> 0.894 (w=4, the measured default);
+      flow/cond_mnist: 0.131 -> 0.975 -> 1.000 -> 1.000.
+    The gate pins the payoff shape: chance at w=0, monotone in w, and
+    high accuracy at the per-family default (ddpm w=4, flow w=2)."""
+    import json
+    from pathlib import Path
+
+    p = (Path(__file__).resolve().parent.parent / "benchmarks"
+         / "cfg_round5.json")
+    rows = json.loads(p.read_text())["rows"]
+    acc = {(r["experiment"], r["guidance"]): r["conditional_accuracy"]
+           for r in rows}
+
+    for exp in ("ddpm/cond_mnist", "flow/cond_mnist"):
+        ws = sorted(w for e, w in acc if e == exp)
+        assert ws == [0.0, 1.0, 2.0, 4.0], ws
+        # w=0 is the unconditional branch: chance-level accuracy
+        assert acc[(exp, 0.0)] <= 0.25, acc[(exp, 0.0)]
+        # guidance never hurts as w grows
+        seq = [acc[(exp, w)] for w in ws]
+        assert all(b >= a - 1e-6 for a, b in zip(seq, seq[1:])), seq
+        # and pays off massively vs unconditional
+        assert seq[-1] >= seq[0] + 0.5, seq
+
+    assert acc[("ddpm/cond_mnist", 4.0)] >= 0.85   # the measured default
+    assert acc[("flow/cond_mnist", 2.0)] >= 0.95   # flow's default
