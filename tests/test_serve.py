@@ -127,3 +127,27 @@ def test_stats_has_latency_percentiles(server):
         stats = json.loads(r.read())
     for k in ("p50_ms", "p95_ms", "p99_ms"):
         assert k in stats and stats[k] is not None and stats[k] > 0, stats
+
+
+def test_serve_round5_latency_artifact():
+    """Gate on the recorded on-chip serving-latency artifact (round-5
+    VERDICT ask #6): four rows (consistency 1-step and DDPM DPM-20, each
+    at batch 1 and 64) through the full HTTP stack, ordered percentiles,
+    and sane throughput.  Numbers were measured on the real TPU chip by
+    benchmarks/run_round5_serve.sh; this test pins the artifact's shape
+    and invariants so doc rows can't drift from it."""
+    path = REPO / "benchmarks" / "serve_round5.json"
+    assert path.exists(), "serving latency never recorded"
+    data = json.loads(path.read_text())
+    rows = {r["artifact"]: r for r in data["rows"]}
+    assert set(rows) == {"consistency_1step_b1", "ddpm_dpm20_b1",
+                         "consistency_1step_b64", "ddpm_dpm20_b64"}
+    for name, r in rows.items():
+        assert r["requests"] >= 100, name
+        assert 0 < r["p50_ms"] <= r["p95_ms"] <= r["p99_ms"], name
+        assert r["samples_per_sec"] > 0 and r["wall_s"] > 0, name
+    # batch-64 must amortize: >10x the samples/s of its batch-1 row.
+    assert (rows["consistency_1step_b64"]["samples_per_sec"]
+            > 10 * rows["consistency_1step_b1"]["samples_per_sec"])
+    assert (rows["ddpm_dpm20_b64"]["samples_per_sec"]
+            > 10 * rows["ddpm_dpm20_b1"]["samples_per_sec"])
