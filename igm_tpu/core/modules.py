@@ -37,7 +37,9 @@ class ModuleDict:
             rng, p_rng, d_rng = jax.random.split(rng, 3)
             args = inputs[name]
             variables = dict(module.init({"params": p_rng, "dropout": d_rng}, *args))
-            params[name] = variables.pop("params")
+            # A module may hold NO trainable params (e.g. the EMA-codebook
+            # VectorQuantizer keeps everything in a mutable collection).
+            params[name] = variables.pop("params", {})
             mutables[name] = {k: dict(v) if hasattr(v, "keys") else v
                               for k, v in variables.items()}
         return params, mutables

@@ -43,12 +43,14 @@ class LatentDDPM(DDPM):
     def __init__(self, datamodule: Any, encoder: Any = None,
                  decoder: Any = None, latent_dim: int = 64,
                  num_embeddings: int = 512, first_stage_ckpt: str = "",
-                 latent_scale: float = 1.0, **ddpm_kwargs):
+                 latent_scale: float = 1.0, codebook_update: str = "gradient",
+                 **ddpm_kwargs):
         self._latent_dim = int(latent_dim)
         super().__init__(datamodule, **ddpm_kwargs)
         self.save_hyperparameters(latent_dim=self._latent_dim,
                                   num_embeddings=int(num_embeddings),
                                   latent_scale=float(latent_scale),
+                                  codebook_update=str(codebook_update),
                                   first_stage_ckpt=str(first_stage_ckpt or ""))
         self.latent_h = self.height // 4   # vqvae nets downsample 4x
         self.latent_w = self.width // 4
@@ -58,7 +60,8 @@ class LatentDDPM(DDPM):
                                 output_channel=self._latent_dim),
             decoder=instantiate(decoder, input_channel=self._latent_dim,
                                 output_channel=self.channels),
-            vq=VectorQuantizer(int(num_embeddings), self._latent_dim))
+            vq=VectorQuantizer(int(num_embeddings), self._latent_dim,
+                               ema=(codebook_update == "ema")))
 
     # ----------------------------------------------------- DDPM space hooks
     @property
