@@ -187,6 +187,11 @@ class Trainer:
         # jit the init: eager init dispatches hundreds of tiny ops, which is
         # pathological over a remote-device link (axon tunnel)
         state = jax.jit(model.init_state)(init_rng)
+        if hasattr(model, "on_fit_start"):
+            # data-dependent one-time calibration (e.g. LatentDDPM's
+            # latent_scale=auto); deterministic, so it runs BEFORE a
+            # resume restore and the checkpointed value wins.
+            state = model.on_fit_start(state, train_arrays)
         state = self._shard_state(state, model)
 
         if self.enable_checkpointing:

@@ -43,13 +43,17 @@ class LatentDDPM(DDPM):
     def __init__(self, datamodule: Any, encoder: Any = None,
                  decoder: Any = None, latent_dim: int = 64,
                  num_embeddings: int = 512, first_stage_ckpt: str = "",
-                 latent_scale: float = 1.0, codebook_update: str = "gradient",
+                 latent_scale="auto", codebook_update: str = "gradient",
                  **ddpm_kwargs):
         self._latent_dim = int(latent_dim)
         super().__init__(datamodule, **ddpm_kwargs)
+        # latent_scale: a float fixes the scale; "auto" (or 0) calibrates
+        # to 1/std of the encoder latents at fit start (on_fit_start).
+        self._cfg_scale = 0.0 if str(latent_scale) == "auto" \
+            else float(latent_scale)
         self.save_hyperparameters(latent_dim=self._latent_dim,
                                   num_embeddings=int(num_embeddings),
-                                  latent_scale=float(latent_scale),
+                                  latent_scale=self._cfg_scale,
                                   codebook_update=str(codebook_update),
                                   first_stage_ckpt=str(first_stage_ckpt or ""))
         self.latent_h = self.height // 4   # vqvae nets downsample 4x
@@ -77,13 +81,23 @@ class LatentDDPM(DDPM):
         return jax.lax.stop_gradient(self.encode(state, imgs))
 
     # -------------------------------------------------------- first stage
+    def _scale(self, state: TrainState) -> jnp.ndarray:
+        """The resolved latent scale.
+
+        Lives in ``state.mutables['latent']['scale']`` (NOT hparams) so it
+        rides orbax checkpoints into the sampling/export/serve tools —
+        ``latent_scale=auto`` is resolved once at fit start (on_fit_start)
+        and every later consumer restores the calibrated value.
+        """
+        return state.mutables["latent"]["scale"]
+
     def encode(self, state: TrainState, imgs: jnp.ndarray) -> jnp.ndarray:
         z, _ = self.modules.apply("encoder", state.params, state.mutables,
                                   imgs, train=False)
-        return z * float(self.hparams.latent_scale)
+        return z * self._scale(state)
 
     def decode(self, state: TrainState, z: jnp.ndarray) -> jnp.ndarray:
-        z = z / float(self.hparams.latent_scale)
+        z = z / self._scale(state)
         (quant, _vq, _c, _idx), _ = self.modules.apply(
             "vq", state.params, state.mutables, z, train=False)
         imgs, _ = self.modules.apply("decoder", state.params, state.mutables,
@@ -109,10 +123,49 @@ class LatentDDPM(DDPM):
         if hp.ema_decay > 0:
             state = state.replace(opt_states={
                 **state.opt_states, "ema": state.params["denoise"]})
+        # resolved latent scale (auto -> 1.0 until on_fit_start calibrates);
+        # kept in mutables so checkpoints carry the calibrated value.
+        state = state.replace(mutables={
+            **state.mutables,
+            "latent": {"scale": jnp.asarray(
+                self._cfg_scale if self._cfg_scale > 0 else 1.0,
+                jnp.float32)}})
         ckpt = str(hp.first_stage_ckpt or "")
         if ckpt:
             state = self._load_first_stage(state, ckpt)
         return state
+
+    def on_fit_start(self, state: TrainState, train_arrays) -> TrainState:
+        """``latent_scale=auto`` (configured as 0): set the scale to
+        1/std of the frozen encoder's latents over the first training
+        images — the LDM/Stable-Diffusion ``scale_factor`` recipe
+        (Rombach et al. 2022 §G), so the diffusion prior sees unit-variance
+        data and the noise schedule's SNR ladder is calibrated.  Measured
+        motivation: the round-5 first-stage retrain (recon 0.198 -> 0.0146)
+        CHANGED the encoder's output scale and the fixed scale=1.0 gallery
+        regressed in coverage (benchmarks/real_runs/latent_ddpm_mnist).
+        Deterministic given the same first stage + dataset, so resume
+        recomputes the identical value before the checkpoint overwrites it.
+        """
+        if self._cfg_scale > 0:
+            return state
+        imgs = jnp.asarray(train_arrays[0][:256])
+
+        @jax.jit
+        def _std(st, im):
+            z, _ = self.modules.apply("encoder", st.params, st.mutables,
+                                      self.preprocess(im), train=False)
+            return jnp.std(z)
+
+        std = jnp.maximum(_std(state, imgs), 1e-6)
+        scale = 1.0 / std
+        import logging
+        logging.getLogger(__name__).info(
+            "latent_scale=auto: encoder latent std %.4f -> scale %.4f",
+            float(std), float(scale))
+        return state.replace(mutables={
+            **state.mutables,
+            "latent": {"scale": scale.astype(jnp.float32)}})
 
     def _load_first_stage(self, state: TrainState, ckpt: str) -> TrainState:
         from ..core.checkpoint import CheckpointManager

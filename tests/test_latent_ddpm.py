@@ -87,13 +87,39 @@ def test_sample_decodes_to_image_space(ms):
 
 
 def test_latent_scale_round_trips(ms):
-    """decode(encode(x)) must be invariant to latent_scale (pure units)."""
+    """decode(encode(x)) must be invariant to latent_scale (pure units).
+
+    The resolved scale lives in state.mutables['latent']['scale'] (so
+    checkpoints carry it into the sampling tools); same init key ->
+    identical first stages, only the scale differs."""
     m2 = _model(latent_scale=3.7)
+    state2 = jax.jit(m2.init_state)(jax.random.PRNGKey(0))
+    assert float(state2.mutables["latent"]["scale"]) == pytest.approx(3.7)
     m1, state = ms
     imgs = jax.random.uniform(jax.random.PRNGKey(5), (2, 16, 16, 1))
     a = m1.decode(state, m1.encode(state, imgs))
-    b = m2.decode(state, m2.encode(state, imgs))
+    b = m2.decode(state2, m2.encode(state2, imgs))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_latent_scale_auto_calibrates():
+    """latent_scale=auto: on_fit_start sets the mutable scale to 1/std of
+    the encoder latents, making the diffusion-space data unit-variance —
+    the LDM scale_factor recipe (measured motivation: the round-5
+    first-stage retrain changed the encoder scale and the fixed 1.0
+    gallery regressed, benchmarks/real_runs/latent_ddpm_mnist)."""
+    m = _model(latent_scale="auto")
+    state = jax.jit(m.init_state)(jax.random.PRNGKey(0))
+    assert float(state.mutables["latent"]["scale"]) == 1.0  # pre-calibration
+    imgs = jax.random.uniform(jax.random.PRNGKey(6), (64, 16, 16, 1))
+    state = m.on_fit_start(state, (np.asarray(imgs), None))
+    z = np.asarray(m.encode(state, m.preprocess(imgs[:64])))
+    assert z.std() == pytest.approx(1.0, rel=0.05)
+    # a FIXED scale must not be touched by the hook
+    m2 = _model(latent_scale=2.0)
+    s2 = jax.jit(m2.init_state)(jax.random.PRNGKey(0))
+    s2b = m2.on_fit_start(s2, (np.asarray(imgs), None))
+    assert float(s2b.mutables["latent"]["scale"]) == 2.0
 
 
 @pytest.mark.slow
