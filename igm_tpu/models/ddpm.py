@@ -310,6 +310,21 @@ class DDPM(BaseModel):
             out = gd.eps_from_v(self.tables, x, t.astype(jnp.int32), out)
         return out
 
+    @property
+    def x0_bound(self) -> float:
+        """Clamp for implied-x0 predictions inside the samplers.  1.0 is
+        the pixel-space data range (images are normalized to [-1, 1],
+        the reference's clip_denoised, ddpm.py:390-397).  Subclasses whose
+        diffusion space is NOT bounded override this: LatentDDPM returns
+        0.0 (= no clipping) because its calibrated unit-variance latents
+        routinely exceed +-1 — clipping them was measured to collapse the
+        latent gallery to gray noise (round 5b, NOTES.md)."""
+        return 1.0
+
+    def _clip_x0(self, x0: jnp.ndarray) -> jnp.ndarray:
+        b = self.x0_bound
+        return jnp.clip(x0, -b, b) if b > 0 else x0
+
     def p_sample(self, state, x, t, rng, clip_denoised: bool = True,
                  y=None, guidance: float = 1.0):
         """One reverse step p(x_{t-1} | x_t); t is a (N,) int32 batch
@@ -317,7 +332,7 @@ class DDPM(BaseModel):
         eps = self._eps(state, x, t.astype(jnp.float32), y, guidance)
         x_recon = gd.predict_start_from_noise(self.tables, x, t, eps)
         if clip_denoised:
-            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+            x_recon = self._clip_x0(x_recon)
         mean, _var, log_var = gd.q_posterior(self.tables, x_recon, x, t)
         noise = jax.random.normal(rng, x.shape)
         nonzero = (t > 0).astype(x.dtype).reshape(-1, *([1] * (x.ndim - 1)))
@@ -391,8 +406,8 @@ class DDPM(BaseModel):
             a_t = tbl.alphas_cumprod[t]
             a_prev = jnp.where(t_prev >= 0, tbl.alphas_cumprod[t_prev], 1.0)
             x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
-            if clip_denoised:
-                x0 = jnp.clip(x0, -1.0, 1.0)
+            if clip_denoised and self.x0_bound > 0:
+                x0 = self._clip_x0(x0)
                 eps = (x - jnp.sqrt(a_t) * x0) / jnp.sqrt(1 - a_t)
             sigma = (eta * jnp.sqrt((1 - a_prev) / (1 - a_t))
                      * jnp.sqrt(1 - a_t / a_prev))
@@ -483,7 +498,7 @@ class DDPM(BaseModel):
             tb = jnp.full((shape[0],), t, jnp.int32)
             eps = self._eps(state, x, tb.astype(jnp.float32), y, guidance)
             x0 = gd.predict_start_from_noise(self.tables, x, tb, eps)
-            x0 = jnp.clip(x0, -1.0, 1.0)
+            x0 = self._clip_x0(x0)
 
             h = lam_n - lam_cur
             # first step has no multistep history; the FINAL (sigma->0)

@@ -69,6 +69,16 @@ class LatentDDPM(DDPM):
 
     # ----------------------------------------------------- DDPM space hooks
     @property
+    def x0_bound(self) -> float:
+        """0 = no implied-x0 clipping: the diffusion space is the
+        calibrated unit-variance latent space, which is unbounded — with
+        latent_scale=auto ~32% of latent values lie outside [-1, 1] and
+        the pixel-space clip was measured to collapse samples to gray
+        noise (round-5b gallery, NOTES.md).  Matches the LDM recipe
+        (Rombach et al. 2022: no clip_denoised in latent space)."""
+        return 0.0
+
+    @property
     def denoise_channels(self) -> int:
         return self._latent_dim
 

@@ -150,3 +150,31 @@ def test_first_stage_checkpoint_splice(tmp_path):
     bad = _model(latent_dim=4, first_stage_ckpt=str(tmp_path / "ckpt"))
     with pytest.raises(ValueError, match="shape mismatch"):
         bad.init_state(jax.random.PRNGKey(0))
+
+
+def test_latent_space_never_clips_x0(ms):
+    """Round-5b root cause: the pixel samplers clip implied x0 to [-1,1]
+    (the data range), but the calibrated latent space is unit-variance —
+    ~32% of its mass lies outside [-1,1], and clipping it collapsed the
+    auto-scale gallery to gray noise.  LatentDDPM must disable the clip
+    (LDM recipe: no clip_denoised in latent space) at every sampler's
+    choke point, while pixel DDPM keeps the reference behavior
+    (src/models/ddpm.py:390-397)."""
+    from igm_tpu.models.ddpm import DDPM
+
+    m, state = ms
+    assert m.x0_bound == 0.0
+    big = jnp.array([-3.0, 0.5, 7.0])
+    assert jnp.array_equal(m._clip_x0(big), big)  # passthrough
+
+    pix = DDPM(datamodule=DM, hidden_dim=8, timesteps=4, dim_mults=(1,),
+               compute_dtype="float32")
+    assert pix.x0_bound == 1.0
+    assert jnp.array_equal(pix._clip_x0(big), jnp.array([-1.0, 0.5, 1.0]))
+
+    # functional: one ancestral step from an extreme x_t stays unsaturated
+    # for the latent model (values beyond the pixel bound survive)
+    x = 5.0 * jnp.ones((2,) + m._sample_shape(1)[1:])
+    t = jnp.ones((2,), jnp.int32)
+    out = m.p_sample(state, x, t, jax.random.PRNGKey(0))
+    assert float(jnp.max(jnp.abs(out))) > 1.0 + 1e-3

@@ -261,10 +261,11 @@ def test_round5_gallery_gates():
       score_sde_vp_mnist 0.880 conf / 10 cov / digit-IS 6.70 (400 epochs
         — the VP arm actually beats the VE gallery's 0.867/10/6.07);
       moe_dit_mnist 0.782 / 9 / 4.33 (300-epoch Switch-MoE DiT, E=8);
-      latent_ddpm_mnist 0.609 / 9 / 2.76 (200-epoch latent DDPM over a
-        frozen 30-epoch VQ-VAE first stage, recon MSE 0.198 — the first
-        stage bounds the ceiling; well above the untrained floor of
-        ~0.3 conf / 1-2 cov)."""
+      latent_ddpm_mnist 0.779 / 10 / 4.80 (round-5b redo: 300-epoch
+        latent DDPM over the retrained 100-epoch first stage, recon MSE
+        0.0146, with latent_scale=auto AND the latent-space x0-clip
+        disabled — the two fixes that took the gallery from 0.609/9/2.76
+        through a 0.366/2 clip-collapse to this, NOTES.md round 5b)."""
     import json
     from pathlib import Path
 
@@ -278,7 +279,8 @@ def test_round5_gallery_gates():
     moe = scores("moe_dit_mnist")
     assert moe["mean_confidence"] >= 0.7 and moe["coverage"] >= 8, moe
     lat = scores("latent_ddpm_mnist")
-    assert lat["mean_confidence"] >= 0.5 and lat["coverage"] >= 8, lat
+    assert lat["mean_confidence"] >= 0.7 and lat["coverage"] >= 9, lat
+    assert lat["inception_score"] >= 4.0, lat
 
     # DDIM-50 post-clip-fix grid from the retrained ddpm_cifar weights
     # scores in the DPM-20/ancestral class (0.848/10/6.04 vs 0.851/10/6.07
