@@ -182,6 +182,32 @@ class VQVAE(BaseModel):
                                           train=False, straight_through=False)
         return recon
 
+    def codebook(self, state: TrainState) -> jnp.ndarray:
+        """The (K, D) codebook, wherever the update mode keeps it
+        (gradient -> params, ema -> the ``codebook`` mutable collection)."""
+        if self.hparams.codebook_update == "ema":
+            return jnp.asarray(state.mutables["vq"]["codebook"]["embedding"])
+        return jnp.asarray(state.params["vq"]["embedding"])
+
+    def sample(self, state: TrainState, rng: jax.Array, n: int) -> jnp.ndarray:
+        """Decode a uniform-random grid of code indices.
+
+        A VQ-VAE has no learned prior over codes — the reference says so
+        itself (`src/models/vqvae.py:78` "Directly sample from embeddings
+        will not produce meaningful images") and its inherited
+        ``sample(N)`` crashes on the conv decoder.  This override keeps
+        the generic sampling/export tools runnable and makes the
+        semantics explicit; the TRAINED prior over this latent space is
+        ``experiment=latent_ddpm/*``."""
+        idx = jax.random.randint(
+            rng, (n, self.latent_h * self.latent_w), 0,
+            int(self.hparams.num_embeddings))
+        quant = self.codebook(state)[idx].reshape(
+            n, self.latent_h, self.latent_w, int(self.hparams.latent_dim))
+        imgs, _ = self.modules.apply("decoder", state.params, state.mutables,
+                                     quant, train=False)
+        return imgs.reshape(n, self.height, self.width, self.channels)
+
     def validation_step(self, state: TrainState, batch, rng: jax.Array,
                         sample: bool = False):
         imgs_raw, labels = batch

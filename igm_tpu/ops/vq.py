@@ -37,6 +37,13 @@ def nearest_codebook(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
 
 
 def quantize(z: jnp.ndarray, codebook: jnp.ndarray):
-    """Returns (quantized vectors, indices)."""
+    """Returns (quantized vectors, indices).
+
+    ``jnp.asarray`` on the gather: an orbax-restored state has NUMPY
+    leaves, and ``np.ndarray[tracer]`` raises TracerArrayConversionError
+    at trace time — the one place the codebook is INDEXED rather than
+    combined through jnp ops (hit by tools/export.py for latent-DDPM,
+    round 5b; every other family's restored params only flow into jnp
+    primitives, which coerce numpy operands themselves)."""
     idx = nearest_codebook(z, codebook)
-    return codebook[idx], idx
+    return jnp.asarray(codebook)[idx], idx

@@ -190,3 +190,54 @@ def test_export_score_sde_pc(tmp_path):
     # stochastic chain: different keys must give different samples
     imgs2 = np.asarray(exported.call(jax.random.PRNGKey(2)))
     assert not np.allclose(imgs, imgs2)
+
+
+@pytest.mark.slow
+def test_export_latent_ddpm_carries_calibrated_scale(tmp_path):
+    """Latent-DDPM serving: a short training run calibrates
+    latent_scale=auto (the resolved scale lives in ckpt mutables, round
+    5b), and the export bakes THAT state — the artifact must reproduce
+    the framework's own sampler bit-for-bit on the same key.  If the
+    calibrated scale (or the no-clip latent sampler, x0_bound=0) were
+    dropped anywhere along ckpt -> export, the decode path divides by a
+    different scale and this equality breaks."""
+    ov = ["experiment=latent_ddpm/mnist", "model.hidden_dim=8",
+          "model.timesteps=8", "model.latent_dim=8",
+          "model.num_embeddings=16"]
+    out = subprocess.run(
+        [sys.executable, str(REPO / "run.py"), *ov,
+         "trainer.max_epochs=1", "trainer.limit_train_batches=2",
+         "trainer.limit_val_batches=1", "datamodule.batch_size=4",
+         "print_config=False"],
+        capture_output=True, text=True, env=_env(), timeout=600,
+        cwd=tmp_path)
+    assert out.returncode == 0, out.stderr[-2000:]
+    ckpt = next(tmp_path.glob("logs/runs/latent_ddpm/mnist/checkpoints"))
+
+    art = tmp_path / "latent.jaxexport"
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "export.py"), *ov,
+         "--ckpt", str(ckpt), "--n", "2", "--platforms", "cpu",
+         "--out", str(art)],
+        capture_output=True, text=True, env=_env(), timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    import jax
+    from jax import export as jexport
+    from igm_tpu.config import compose, instantiate
+    from igm_tpu.core.checkpoint import CheckpointManager
+
+    exported = jexport.deserialize(art.read_bytes())
+    key = jax.random.PRNGKey(7)
+    imgs = np.asarray(exported.call(key))
+    assert imgs.shape == (2, 28, 28, 1) and np.isfinite(imgs).all()
+
+    cfg = compose(REPO / "configs", [*ov, "print_config=False"])
+    model = instantiate(cfg.model, datamodule=cfg.datamodule)
+    model.steps_per_epoch = 1
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    state = CheckpointManager(str(ckpt)).restore(state)
+    scale = float(state.mutables["latent"]["scale"])
+    assert scale != 1.0  # auto-calibration actually resolved a scale
+    ref = np.asarray(model.sample(state, key, 2))
+    np.testing.assert_allclose(imgs, ref, rtol=1e-5, atol=1e-5)

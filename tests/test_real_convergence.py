@@ -281,6 +281,12 @@ def test_round5_gallery_gates():
     lat = scores("latent_ddpm_mnist")
     assert lat["mean_confidence"] >= 0.7 and lat["coverage"] >= 9, lat
     assert lat["inception_score"] >= 4.0, lat
+    # the EMA-codebook first stage (val recon 0.0075 vs gradient 0.0146)
+    # lifts the same 300-epoch latent recipe further: 0.817 / 10 / 5.28
+    lat_ema = scores("latent_ddpm_mnist_ema")
+    assert lat_ema["mean_confidence"] >= 0.75, lat_ema
+    assert lat_ema["coverage"] >= 9, lat_ema
+    assert lat_ema["inception_score"] >= 4.5, lat_ema
 
     # DDIM-50 post-clip-fix grid from the retrained ddpm_cifar weights
     # scores in the DPM-20/ancestral class (0.848/10/6.04 vs 0.851/10/6.07

@@ -180,3 +180,23 @@ def test_ema_ab_real_run_artifacts():
     # and the quality payoff: >=2x better reconstruction at equal budget
     assert recon["vqvae_mnist_ema"] * 2 < recon["vqvae_mnist_grad30"], recon
     assert recon["vqvae_mnist_ema"] < 0.05, recon
+
+
+# ------------------------------------------------------------ sample()
+@pytest.mark.parametrize("mode", ["gradient", "ema"])
+def test_sample_decodes_random_codes(mode):
+    """VQVAE.sample decodes a uniform-random code grid (the reference's
+    inherited sample crashes on the conv decoder, and its own docstring
+    disclaims meaningful sampling, src/models/vqvae.py:78) — ours must at
+    least RUN for the generic sampling/export tools, in both codebook
+    modes, with the right geometry and finite values."""
+    model = _mk_model(mode)
+    state = jax.jit(model.init_state)(jax.random.PRNGKey(0))
+    imgs = model.sample(state, jax.random.PRNGKey(1), 3)
+    assert imgs.shape == (3, 16, 16, 1)
+    assert np.isfinite(np.asarray(imgs)).all()
+    # numpy-leaf state (orbax restore shape): the gather must still trace
+    npstate = jax.tree_util.tree_map(np.asarray, state)
+    out = jax.jit(lambda s, r: model.sample(s, r, 3))(
+        npstate, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(imgs), np.asarray(out), atol=1e-6)
